@@ -1,0 +1,16 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding paths are exercised without TPU hardware."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# JAX's default matmul precision is reduced (bfloat16-class inputs) even for
+# float32 arrays; parity tests compare against torch fp32, so force full
+# precision for the test suite. Production TPU code runs bf16 params anyway.
+import jax
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,4 @@
+"""UniAudio2-TPU: a TPU-native (JAX/XLA/Pallas) unified audio language model
+framework with the capabilities of UniAudio 2.0 (yangdongchao/UniAudio2)."""
+
+__version__ = "0.1.0"

@@ -1,0 +1,338 @@
+"""Compiled autoregressive decode engine.
+
+The reference drives generation from eager Python — one `generate_frame` call
+per frame with host-side phase logic, EOS checks and list appends
+(`evaluation/asr_task.py:667-682`, `evaluation/tts_task.py:253-282`). On TPU
+that costs a host round-trip per frame. Here the *entire* generation — prefill,
+frame loop, two-phase reason→semantic switching, EOS detection, and output
+buffering — is one `jax.jit`-compiled program built around
+`jax.lax.while_loop`; the host reads back only the final token buffers.
+
+Shape policy: prompts are padded to static bucket lengths (one compile per
+bucket) and the frame loop runs to a static ``max_frames`` bound with an
+early-exit predicate. The data-dependent pieces of the reference (true prompt
+length, the reasoning→semantic `forbid_prefix` flip, `save_flag`) are traced
+scalars carried through the loop.
+
+Output protocol (two-phase audio mode): every generated frame is written into
+a ``(max_frames, 8)`` buffer with a per-frame phase tag
+(0 = dropped / phase-switch frame, 1 = reasoning, 2 = semantic). Host-side
+`split_two_phase` reproduces the reference's list semantics
+(`tts_task.py:261-284`), including dropping the leading BOS frame of each
+phase and subtracting ``audio_reason_card`` from semantic codes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniaudio2_tpu.config import UnifiedModelConfig
+from uniaudio2_tpu.models import unified
+from uniaudio2_tpu.models.unified import UnifiedCaches
+
+Params = Dict[str, Any]
+
+# Prompt bucket lengths: one XLA program per bucket, reused across calls.
+DEFAULT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+PHASE_DROPPED = 0
+PHASE_REASON = 1
+PHASE_SEMANTIC = 2
+
+
+def pick_bucket(length: int, buckets=DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    raise ValueError(
+        f"prompt length {length} exceeds the largest bucket {buckets[-1]} "
+        f"(the reference caps its KV cache at 2048, model_new.py:560)"
+    )
+
+
+class _LoopState(NamedTuple):
+    step: jax.Array             # i32: frames emitted so far
+    pos: jax.Array              # i32: next absolute position to write
+    finished: jax.Array         # bool
+    frame_tokens: jax.Array     # (B, 1, 9) feedback tokens
+    frame_mask: jax.Array       # (B, 1, 9) feedback mask
+    is_reason: jax.Array        # bool: still in reasoning phase
+    save_flag: jax.Array        # bool (reference tts_task.py:250,265,273)
+    forbid_prefix: jax.Array    # i32: 0 or audio_reason_card
+    key: jax.Array              # PRNG
+    caches: UnifiedCaches
+    audio_out: jax.Array        # (max_frames, 8) i32
+    phase_out: jax.Array        # (max_frames,) i32
+    text_out: jax.Array         # (max_frames,) i32
+
+
+def _build_generate(
+    cfg: UnifiedModelConfig,
+    *,
+    mode: str,                 # "text" | "audio"
+    bucket: int,
+    max_frames: int,
+    temperature: float,
+    topk: int,
+    use_cfg: bool,
+    cache_dtype=jnp.bfloat16,
+):
+    """Construct the jittable full-generation function for one configuration."""
+    ts = cfg.tokens
+    ncb = ts.num_codebooks
+    batch = 2 if use_cfg else 1
+
+    def generate(
+        params: Params,
+        grid: jax.Array,        # (B, bucket, 9) int32, padded prompt
+        grid_mask: jax.Array,   # (B, bucket, 9) bool
+        prompt_len: jax.Array,  # i32 scalar: true prompt length L
+        key: jax.Array,
+        cfg_scale: jax.Array,   # f32 scalar (ignored unless use_cfg)
+    ):
+        caches = unified.init_caches(cfg, batch, dtype=cache_dtype)
+        # Prefill positions [0, bucket-1) with grid[:, :-1] (reference
+        # forward_prefix consumes tokens[:, :-1], asr_task.py:658).
+        caches = unified.prefill(
+            params, cfg, grid[:, :-1], grid_mask[:, :-1], caches
+        )
+        # First decode input: the last *real* prompt token, at pos L-1.
+        last_idx = (prompt_len - 1).astype(jnp.int32)
+        first_tokens = jax.lax.dynamic_slice_in_dim(grid, last_idx, 1, axis=1)
+        first_mask = jax.lax.dynamic_slice_in_dim(grid_mask, last_idx, 1, axis=1)
+
+        state = _LoopState(
+            step=jnp.int32(0),
+            pos=last_idx.astype(jnp.int32),
+            finished=jnp.asarray(False),
+            frame_tokens=first_tokens,
+            frame_mask=first_mask,
+            is_reason=jnp.asarray(True),
+            save_flag=jnp.asarray(True),
+            forbid_prefix=jnp.int32(0),
+            key=key,
+            caches=caches,
+            audio_out=jnp.zeros((max_frames, ncb), jnp.int32),
+            phase_out=jnp.zeros((max_frames,), jnp.int32),
+            text_out=jnp.full((max_frames,), -1, jnp.int32),
+        )
+
+        def cond(s: _LoopState):
+            in_range = jnp.logical_and(
+                s.step < max_frames, s.pos < cfg.max_seq_len - 1
+            )
+            return jnp.logical_and(in_range, jnp.logical_not(s.finished))
+
+        def body(s: _LoopState) -> _LoopState:
+            key, sub = jax.random.split(s.key)
+            frame, caches = unified.decode_frame(
+                params, cfg, s.frame_tokens, s.frame_mask, s.caches, s.pos,
+                sub, temperature=temperature, topk=topk,
+                forbid_prefix=s.forbid_prefix,
+                use_cfg=use_cfg, cfg_scale=cfg_scale,
+            )
+            text_tok = frame[0, 0]          # row 0 = conditioned
+            audio_toks = frame[0, 1:]       # (8,)
+
+            if mode == "text":
+                finished = text_tok == ts.text_eos
+                text_out = s.text_out.at[s.step].set(
+                    jnp.where(finished, -1, text_tok)
+                )
+                # Feedback: zero audio, text-only mask (asr_task.py:673-680).
+                fb_tokens = jnp.concatenate(
+                    [jnp.zeros((batch, ncb), jnp.int32),
+                     jnp.broadcast_to(text_tok, (batch,))[:, None]], axis=1,
+                )[:, None, :]
+                fb_mask = jnp.concatenate(
+                    [jnp.zeros((batch, ncb), bool), jnp.ones((batch, 1), bool)],
+                    axis=1,
+                )[:, None, :]
+                return s._replace(
+                    step=s.step + 1, pos=s.pos + 1, finished=finished,
+                    frame_tokens=fb_tokens, frame_mask=fb_mask, key=key,
+                    caches=caches, text_out=text_out,
+                )
+
+            # ---- two-phase audio mode (tts_task.py:253-282) ----
+            sem_eos = jnp.all(audio_toks == (ts.semantic_eos + ts.audio_reason_card))
+            reason_eos_frame = jnp.all(audio_toks == ts.reason_eos)
+            switch = jnp.logical_and(s.is_reason, reason_eos_frame)
+            finished = sem_eos
+            save_now = jnp.logical_and(
+                jnp.logical_and(s.save_flag, jnp.logical_not(switch)),
+                jnp.logical_not(finished),
+            )
+            new_is_reason = jnp.logical_and(s.is_reason, jnp.logical_not(switch))
+            phase = jnp.where(
+                save_now,
+                jnp.where(new_is_reason, PHASE_REASON, PHASE_SEMANTIC),
+                PHASE_DROPPED,
+            )
+            audio_out = s.audio_out.at[s.step].set(audio_toks)
+            phase_out = s.phase_out.at[s.step].set(phase)
+            text_out = s.text_out.at[s.step].set(text_tok)
+            new_forbid = jnp.where(
+                switch, jnp.int32(ts.audio_reason_card), s.forbid_prefix
+            )
+            # save_flag: False on the switch frame, restored the frame after
+            # (reference tts_task.py:265,273)
+            new_save_flag = jnp.logical_not(switch)
+            # Feedback: raw audio tokens, audio-only mask (tts_task.py:275-277).
+            fb_tokens = jnp.concatenate(
+                [jnp.broadcast_to(audio_toks, (batch, ncb)),
+                 jnp.broadcast_to(text_tok, (batch,))[:, None]], axis=1,
+            )[:, None, :]
+            fb_mask = jnp.concatenate(
+                [jnp.ones((batch, ncb), bool), jnp.zeros((batch, 1), bool)],
+                axis=1,
+            )[:, None, :]
+            return s._replace(
+                step=s.step + 1, pos=s.pos + 1, finished=finished,
+                frame_tokens=fb_tokens, frame_mask=fb_mask,
+                is_reason=new_is_reason, save_flag=new_save_flag,
+                forbid_prefix=new_forbid, key=key, caches=caches,
+                audio_out=audio_out, phase_out=phase_out, text_out=text_out,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.text_out, final.audio_out, final.phase_out, final.step
+
+    return generate
+
+
+class DecodeEngine:
+    """Caches jit-compiled generation programs keyed by
+    (mode, bucket, sampling config) and exposes host-friendly entry points.
+
+    This is the TPU equivalent of the per-task Generator decode loops
+    (`evaluation/*.py`); the prompt-grid *construction* lives in
+    `engine/tasks.py` and stays on the host (pure numpy).
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: UnifiedModelConfig,
+        *,
+        max_frames: int = 500,   # reference cap (tts_task.py:222)
+        cache_dtype=jnp.bfloat16,
+        buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_frames = max_frames
+        self.cache_dtype = cache_dtype
+        self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (
+            cfg.max_seq_len,
+        )
+        self._compiled: Dict[Tuple, Any] = {}
+
+    def _get(self, mode: str, bucket: int, temperature: float, topk: int,
+             use_cfg: bool):
+        key = (mode, bucket, float(temperature), int(topk), bool(use_cfg))
+        if key not in self._compiled:
+            fn = _build_generate(
+                self.cfg, mode=mode, bucket=bucket,
+                max_frames=self.max_frames, temperature=temperature,
+                topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
+            )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    def _pad_grid(
+        self, grid: np.ndarray, mask: np.ndarray, use_cfg: bool,
+        neg_grid: Optional[np.ndarray], neg_mask: Optional[np.ndarray],
+    ) -> Tuple[jax.Array, jax.Array, int, int]:
+        length = grid.shape[0]
+        bucket = pick_bucket(length, self.buckets)
+        par = self.cfg.tokens.parallel_number
+        batch = 2 if use_cfg else 1
+        g = np.zeros((batch, bucket, par), np.int32)
+        m = np.zeros((batch, bucket, par), bool)
+        g[0, :length] = grid
+        m[0, :length] = mask
+        if use_cfg:
+            assert neg_grid is not None and neg_grid.shape[0] == length, (
+                "CFG negative prompt must have the same length as the prompt "
+                "(the reference builds it by pad-substitution, "
+                "tts_task.py:171-189)"
+            )
+            g[1, :length] = neg_grid
+            m[1, :length] = neg_mask
+        return jnp.asarray(g), jnp.asarray(m), length, bucket
+
+    # ------------------------------------------------------------------
+    # Public entry points
+    # ------------------------------------------------------------------
+
+    def generate_text(
+        self,
+        grid: np.ndarray,
+        mask: np.ndarray,
+        *,
+        temperature: float = 0.9,
+        topk: int = 1,
+        seed: int = 888,
+    ) -> np.ndarray:
+        """Text-output decode (ASR / captioning / QA). Returns the generated
+        text token ids (1-D, EOS excluded)."""
+        g, m, length, bucket = self._pad_grid(grid, mask, False, None, None)
+        fn = self._get("text", bucket, temperature, topk, False)
+        text_out, _, _, n = fn(
+            self.params, g, m, jnp.int32(length),
+            jax.random.PRNGKey(seed), jnp.float32(1.0),
+        )
+        text = np.asarray(text_out)
+        n = int(n)
+        toks = text[:n]
+        return toks[toks >= 0]
+
+    def generate_audio(
+        self,
+        grid: np.ndarray,
+        mask: np.ndarray,
+        *,
+        temperature: float = 0.9,
+        topk: int = 200,
+        seed: int = 888,
+        use_cfg: bool = False,
+        cfg_scale: float = 1.0,
+        neg_grid: Optional[np.ndarray] = None,
+        neg_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Two-phase audio decode (TTS/TTA/TTM/LTS/s2s). Returns
+        (reason (8, T1), semantic (8, T2)) numpy arrays, matching the
+        reference's return convention (`tts_task.py:283-285`)."""
+        g, m, length, bucket = self._pad_grid(
+            grid, mask, use_cfg, neg_grid, neg_mask
+        )
+        fn = self._get("audio", bucket, temperature, topk, use_cfg)
+        _, audio_out, phase_out, n = fn(
+            self.params, g, m, jnp.int32(length),
+            jax.random.PRNGKey(seed), jnp.float32(cfg_scale),
+        )
+        return split_two_phase(
+            np.asarray(audio_out), np.asarray(phase_out), int(n),
+            self.cfg.tokens.audio_reason_card,
+        )
+
+
+def split_two_phase(
+    audio_out: np.ndarray, phase_out: np.ndarray, n_steps: int,
+    reason_card: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reproduce the reference's phase-split postprocessing
+    (`tts_task.py:261-285`): collect saved reasoning / semantic frames, drop
+    the first frame of each phase (the generated BOS frame), subtract the
+    reasoning-card offset from semantic codes, and return (8, T) layouts."""
+    phases = phase_out[:n_steps]
+    frames = audio_out[:n_steps]
+    reason = frames[phases == PHASE_REASON][1:]
+    semantic = frames[phases == PHASE_SEMANTIC][1:] - reason_card
+    return reason.T.astype(np.int64), semantic.T.astype(np.int64)

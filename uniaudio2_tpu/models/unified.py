@@ -1,0 +1,383 @@
+"""Unified multi-stream audio language model.
+
+TPU-native re-design of the reference's shipped model `Model_stage3`
+(`/root/reference/llm_models/model_new.py:334-687`): a Llama-3.2-class global
+backbone, a 3-layer *understanding* expert and a 2-layer *generation* expert
+(both continuous-in/continuous-out), and a 4-layer local RQ-decoder that emits
+8 audio codebooks per frame plus one text token (9 parallel streams).
+
+Topology per step (reference `forward`, `model_new.py:402-454`):
+
+    audio streams (8 cb)  --offset-embed--> masked-sum --> understanding expert
+    text stream           --wte-----------------------+
+                                                       v
+                          mux by step kind  -->  global backbone
+                                                       |
+                              audio steps -> generation expert -> re-mux
+                                                       |
+                    h_final --> lm_head (text logits)  |
+                    h_final --> local RQ-decoder: 8 sequential codebook steps
+
+Everything is functional: parameters and KV caches are pytrees; the whole
+frame step (backbone + experts + text sample + 8 local-decoder steps) is one
+jit-compiled function with no host synchronisation, replacing the reference's
+eager per-frame Python (`model_new.py:568-645`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from uniaudio2_tpu.config import GPTConfig, UnifiedModelConfig
+from uniaudio2_tpu.models import gpt
+from uniaudio2_tpu.ops.kv_cache import KVCache, init_cache
+from uniaudio2_tpu.ops.sampling import cfg_mix, sample_topk
+
+Params = Dict[str, Any]
+
+
+class UnifiedCaches(NamedTuple):
+    """KV caches for the three sequence-length-2048 stacks
+    (reference `setup_caches`, `model_new.py:554-565`). The local decoder's
+    8-step cache is created fresh inside each frame step."""
+
+    backbone: KVCache
+    understanding: KVCache
+    generation: KVCache
+
+
+def init_params(
+    key: jax.Array, cfg: UnifiedModelConfig, dtype=jnp.float32
+) -> Params:
+    kb, kd, ku, kg, ke, kp, kh = jax.random.split(key, 7)
+    bcfg, dcfg = cfg.backbone, cfg.decoder
+    audio_vocab = cfg.tokens.audio_vocab
+    ncb = cfg.tokens.num_codebooks
+
+    def normal(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    return {
+        "backbone": gpt.init_params(kb, bcfg, dtype),
+        "decoder": gpt.init_params(kd, dcfg, dtype),
+        "understanding_expert": gpt.init_params(ku, cfg.understanding_expert, dtype),
+        "generation_expert": gpt.init_params(kg, cfg.generation_expert, dtype),
+        # one big table with per-codebook offset k*audio_vocab
+        # (reference model_new.py:347,665-673)
+        "audio_embeddings": normal(ke, (audio_vocab * ncb, bcfg.n_embd)),
+        "projection_w": normal(kp, (bcfg.n_embd, dcfg.n_embd)),
+        "audio_head": normal(kh, (ncb, dcfg.n_embd, audio_vocab)),
+    }
+
+
+def init_caches(
+    cfg: UnifiedModelConfig, batch: int, dtype=jnp.bfloat16
+) -> UnifiedCaches:
+    s = cfg.max_seq_len
+    return UnifiedCaches(
+        backbone=init_cache(cfg.backbone, batch, s, dtype),
+        understanding=init_cache(cfg.understanding_expert, batch, s, dtype),
+        generation=init_cache(cfg.generation_expert, batch, s, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding / muxing helpers
+# ---------------------------------------------------------------------------
+
+
+def _embed_audio_streams(
+    params: Params, cfg: UnifiedModelConfig, tokens: jax.Array
+) -> jax.Array:
+    """(B, S, K) audio ids -> (B, S, K, D) via per-codebook offsets
+    (reference `_embed_audio_tokens` / `_embed_local_audio`,
+    `model_new.py:653-673`; K is 8 for the input streams, 7 for the local
+    decoder's shifted codebooks)."""
+    k = tokens.shape[-1]
+    offsets = jnp.arange(k, dtype=tokens.dtype) * cfg.tokens.audio_vocab
+    return jnp.take(params["audio_embeddings"], tokens + offsets, axis=0)
+
+
+def _fuse_input(
+    params: Params, cfg: UnifiedModelConfig, tokens: jax.Array, mask: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Shared stream-fusion front half of every forward flavour.
+
+    Args:
+        tokens: (B, S, 9) int; streams [0..7] audio codebooks, [8] text.
+        mask: (B, S, 9) bool; True = stream active at this step.
+    Returns:
+        (audio_input, text_embeds, audio_step_mask, text_step_mask) where
+        audio_input is the masked codebook-sum (B, S, D) and the step masks
+        are (B, S, 1) floats.
+    """
+    dtype = params["audio_embeddings"].dtype
+    audio_embeds = _embed_audio_streams(params, cfg, tokens[:, :, :-1])
+    audio_stream_mask = mask[:, :, :-1, None].astype(dtype)
+    audio_input = (audio_embeds * audio_stream_mask).sum(axis=2)  # (B,S,D)
+    text_embeds = gpt.embed(params["backbone"], tokens[:, :, -1])
+    audio_step_mask = mask[:, :, 0:1].astype(dtype)
+    text_step_mask = mask[:, :, -1:].astype(dtype)
+    return audio_input, text_embeds, audio_step_mask, text_step_mask
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence forward (training semantics of reference `forward`,
+# model_new.py:402-454)
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    cfg: UnifiedModelConfig,
+    tokens: jax.Array,
+    labels: jax.Array,
+    tokens_mask: jax.Array,
+    *,
+    extra_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Training forward.
+
+    Mirrors `Model_stage3.forward` but returns *dense* local-decoder logits:
+    the reference gathers only audio steps with a boolean index
+    (`model_new.py:449` — data-dependent shape, hostile to XLA); here the
+    local decoder runs at every step and the loss masks non-audio steps
+    instead (same gradients, static shapes).
+
+    Args:
+        tokens: (B, S, 9); teacher-forced input grid (last dim: 8 audio + text).
+        labels: (B, S, 8) next-step audio targets (codebooks) aligned so that
+            labels[:, t] are the codes emitted *at* step t+1 of the grid, i.e.
+            the reference's `labels` argument.
+        tokens_mask: (B, S+1, 9) bool (one step longer: the reference slices
+            `[:, :-1]` for inputs, `model_new.py:424-428`).
+    Returns:
+        text_logits (B, S, V_text), audio_logits (B, S, 8, V_audio).
+    """
+    in_mask = tokens_mask[:, :-1, :]
+    audio_input, text_embeds, a_mask, t_mask = _fuse_input(
+        params, cfg, tokens, in_mask
+    )
+    h_audio = gpt.forward(
+        params["understanding_expert"], cfg.understanding_expert, audio_input,
+        extra_mask=extra_mask,
+    )
+    backbone_input = h_audio * a_mask + text_embeds * t_mask
+    h = gpt.forward(params["backbone"], cfg.backbone, backbone_input,
+                    extra_mask=extra_mask)
+    h_gen = gpt.forward(
+        params["generation_expert"], cfg.generation_expert, h * a_mask,
+        extra_mask=extra_mask,
+    )
+    h_final = h_gen * a_mask + h * t_mask
+    text_logits = gpt.lm_head(params["backbone"], h_final)
+
+    audio_logits = _local_decoder_teacher_forced(params, cfg, h_final, labels)
+    return text_logits, audio_logits
+
+
+def _local_decoder_teacher_forced(
+    params: Params, cfg: UnifiedModelConfig, h_final: jax.Array, labels: jax.Array
+) -> jax.Array:
+    """Local RQ-decoder over every timestep in parallel (training).
+
+    Input sequence per step t: ``[h_final[t]; embed(labels[t, 0:7])]`` — an
+    8-long causal sequence scored by the per-codebook heads via einsum
+    (reference `model_new.py:447-453`). Steps are folded into the batch so the
+    decoder sees (B*S, 8, D): one big MXU-friendly batch instead of a gather.
+    """
+    b, s, d_b = h_final.shape
+    ncb = cfg.tokens.num_codebooks
+    local_embeds = _embed_audio_streams(params, cfg, labels[:, :, : ncb - 1])
+    curr = jnp.concatenate([h_final[:, :, None, :], local_embeds], axis=2)
+    curr = curr.reshape(b * s, ncb, d_b)
+    proj = jnp.einsum("bnd,de->bne", curr, params["projection_w"])
+    dec_h = gpt.forward(params["decoder"], cfg.decoder, proj)
+    logits = jnp.einsum(
+        "bnd,ndv->bnv", dec_h, params["audio_head"],
+        preferred_element_type=jnp.float32,
+    )
+    return logits.reshape(b, s, ncb, -1)
+
+
+def forward_text(
+    params: Params,
+    cfg: UnifiedModelConfig,
+    tokens: jax.Array,
+    tokens_mask: jax.Array,
+) -> jax.Array:
+    """Text-logits-only forward (reference `forward_text`,
+    `model_new.py:509-552`; mask is not shifted)."""
+    audio_input, text_embeds, a_mask, t_mask = _fuse_input(
+        params, cfg, tokens, tokens_mask
+    )
+    h_audio = gpt.forward(
+        params["understanding_expert"], cfg.understanding_expert, audio_input
+    )
+    backbone_input = h_audio * a_mask + text_embeds * t_mask
+    h = gpt.forward(params["backbone"], cfg.backbone, backbone_input)
+    h_gen = gpt.forward(params["generation_expert"], cfg.generation_expert, h * a_mask)
+    h_final = h_gen * a_mask + h * t_mask
+    return gpt.lm_head(params["backbone"], h_final)
+
+
+# ---------------------------------------------------------------------------
+# Prefill (fills the three KV caches over a padded prompt block)
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params: Params,
+    cfg: UnifiedModelConfig,
+    tokens: jax.Array,
+    tokens_mask: jax.Array,
+    caches: UnifiedCaches,
+) -> UnifiedCaches:
+    """Run the prompt (B, S, 9) through experts+backbone at positions [0, S),
+    filling the caches (reference `forward_prefix`, `model_new.py:456-507`;
+    the local decoder is skipped — its outputs are unused during prefill).
+
+    S may be a padded bucket length; causal masking keeps padded tail
+    positions from affecting valid ones, and sequential decode overwrites
+    them before they are ever attended.
+    """
+    audio_input, text_embeds, a_mask, t_mask = _fuse_input(
+        params, cfg, tokens, tokens_mask
+    )
+    h_audio, und_cache = gpt.prefill(
+        params["understanding_expert"], cfg.understanding_expert,
+        audio_input, caches.understanding,
+    )
+    backbone_input = h_audio * a_mask + text_embeds * t_mask
+    h, bb_cache = gpt.prefill(
+        params["backbone"], cfg.backbone, backbone_input, caches.backbone
+    )
+    _, gen_cache = gpt.prefill(
+        params["generation_expert"], cfg.generation_expert, h * a_mask,
+        caches.generation,
+    )
+    return UnifiedCaches(bb_cache, und_cache, gen_cache)
+
+
+# ---------------------------------------------------------------------------
+# One autoregressive frame (reference `generate_frame`, model_new.py:568-645)
+# ---------------------------------------------------------------------------
+
+
+def decode_frame(
+    params: Params,
+    cfg: UnifiedModelConfig,
+    tokens: jax.Array,
+    tokens_mask: jax.Array,
+    caches: UnifiedCaches,
+    pos: jax.Array,
+    key: jax.Array,
+    *,
+    temperature: float,
+    topk: int,
+    forbid_prefix: jax.Array,
+    use_cfg: bool = False,
+    cfg_scale: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, UnifiedCaches]:
+    """One AR step: consume the previous frame's (B, 1, 9) tokens at position
+    ``pos``, return the next frame's (B, 9) tokens [text, cb0..cb7] — note the
+    reference returns text first (`model_new.py:624`).
+
+    ``forbid_prefix`` is a traced scalar: 0 during the reasoning phase,
+    ``audio_reason_card`` during the semantic phase (two-phase audio decode,
+    reference `tts_task.py:261-266`).
+
+    With ``use_cfg`` the batch is [conditioned, unconditioned]; logits are
+    mixed with `cfg_mix` and the sampled token is broadcast to both rows
+    (reference `model_new.py:618-637`).
+    """
+    b = tokens.shape[0]
+    audio_input, text_embeds, a_mask, t_mask = _fuse_input(
+        params, cfg, tokens, tokens_mask
+    )
+    h_audio, und_cache = gpt.decode_step(
+        params["understanding_expert"], cfg.understanding_expert,
+        audio_input, caches.understanding, pos,
+    )
+    backbone_input = h_audio * a_mask + text_embeds * t_mask
+    h, bb_cache = gpt.decode_step(
+        params["backbone"], cfg.backbone, backbone_input, caches.backbone, pos
+    )
+    h_gen, gen_cache = gpt.decode_step(
+        params["generation_expert"], cfg.generation_expert, h * a_mask,
+        caches.generation, pos,
+    )
+    h_final = h_gen * a_mask + h * t_mask
+    last_h = h_final[:, -1, :]  # (B, D)
+
+    text_logits = gpt.lm_head(params["backbone"], last_h)  # (B, V_text)
+    key_text, key_audio = jax.random.split(key)
+    if use_cfg:
+        mixed = cfg_mix(text_logits[0], text_logits[1], cfg_scale)
+        text_sample = sample_topk(key_text, mixed[None], topk, temperature)
+        text_sample = jnp.broadcast_to(text_sample, (b,))
+    else:
+        text_sample = sample_topk(key_text, text_logits, topk, temperature)
+
+    audio_samples = _local_decoder_generate(
+        params, cfg, last_h, key_audio,
+        temperature=temperature, topk=topk, forbid_prefix=forbid_prefix,
+        use_cfg=use_cfg, cfg_scale=cfg_scale,
+    )
+    frame = jnp.concatenate([text_sample[:, None], audio_samples], axis=1)
+    return frame, UnifiedCaches(bb_cache, und_cache, gen_cache)
+
+
+def _local_decoder_generate(
+    params: Params,
+    cfg: UnifiedModelConfig,
+    last_h: jax.Array,
+    key: jax.Array,
+    *,
+    temperature: float,
+    topk: int,
+    forbid_prefix: jax.Array,
+    use_cfg: bool,
+    cfg_scale: Optional[jax.Array],
+) -> jax.Array:
+    """8 sequential local-decoder steps with a fresh 8-slot KV cache
+    (the reference resets the decoder cache every frame,
+    `model_new.py:629-643`). Implemented as `lax.scan` over codebooks with the
+    stacked `audio_head` as scan inputs — one compiled step body.
+    Returns (B, 8) sampled codebook ids."""
+    b = last_h.shape[0]
+    dcfg = cfg.decoder
+    ncb = cfg.tokens.num_codebooks
+    dec_cache = init_cache(dcfg, b, ncb, dtype=last_h.dtype)
+    audio_vocab = cfg.tokens.audio_vocab
+    cb_offsets = jnp.arange(ncb, dtype=jnp.int32) * audio_vocab
+    keys = jax.random.split(key, ncb)
+
+    def step(carry, xs):
+        curr_h, cache = carry
+        head_i, offset_i, key_i, i = xs
+        proj = jnp.einsum("btd,de->bte", curr_h, params["projection_w"])
+        dec_h, cache = gpt.decode_step(params["decoder"], dcfg, proj, cache, i)
+        logits = jnp.einsum(
+            "bd,dv->bv", dec_h[:, -1, :], head_i,
+            preferred_element_type=jnp.float32,
+        )
+        if use_cfg:
+            mixed = cfg_mix(logits[0], logits[1], cfg_scale)
+            sample = sample_topk(
+                key_i, mixed[None], topk, temperature, forbid_prefix=forbid_prefix
+            )
+            sample = jnp.broadcast_to(sample, (b,))
+        else:
+            sample = sample_topk(
+                key_i, logits, topk, temperature, forbid_prefix=forbid_prefix
+            )
+        next_h = jnp.take(params["audio_embeddings"], sample + offset_i, axis=0)
+        return (next_h[:, None, :], cache), sample
+
+    xs = (params["audio_head"], cb_offsets, keys, jnp.arange(ncb, dtype=jnp.int32))
+    (_, _), samples = jax.lax.scan(step, (last_h[:, None, :], dec_cache), xs)
+    return samples.T  # (B, 8)

@@ -1,0 +1,103 @@
+"""Grouped-query attention (GQA) primitives.
+
+Replaces the reference's SDPA call (`lit_model.py:502-532`). Two shapes of the
+same math:
+
+* ``causal_attention`` — full-sequence (prefill / training): queries and keys
+  have the same length, plain causal (optionally prefix-LM) masking. Computed
+  as grouped einsums so the MXU sees large batched matmuls; no
+  ``repeat_interleave`` materialisation of KV heads (the reference expands KV
+  to all query heads, `lit_model.py:478-481` — on TPU we keep the group axis
+  and let the contraction broadcast instead).
+* ``decode_attention`` — incremental: T query steps against a static-length
+  cache, masked by position (replaces the `input_pos_maxp1` slicing).
+
+Softmax is computed in float32 regardless of activation dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _group_query_heads(q: jax.Array, n_groups: int) -> jax.Array:
+    """(B, H, T, hd) -> (B, G, H/G, T, hd)."""
+    b, h, t, hd = q.shape
+    return q.reshape(b, n_groups, h // n_groups, t, hd)
+
+
+def causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    extra_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-sequence causal GQA.
+
+    Args:
+        q: (B, H, T, hd); k, v: (B, G, T, hd) with H % G == 0.
+        extra_mask: optional (B, T, T) or (T, T) boolean, True = attend.
+            Combined with the causal mask (prefix-LM support,
+            reference `llm_utils/train_utils.py:246-286`).
+    Returns:
+        (B, T, H*hd)
+    """
+    b, h, t, hd = q.shape
+    g = k.shape[1]
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    qg = _group_query_heads(q, g)  # (B, G, P, T, hd)
+    scores = jnp.einsum(
+        "bgpth,bgsh->bgpts", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+    if extra_mask is None:
+        mask = causal  # broadcasts over (B, G, P, T, S)
+    elif extra_mask.ndim == 2:
+        mask = jnp.logical_and(causal, extra_mask)
+    else:  # (B, T, T) -> (B, 1, 1, T, S)
+        mask = jnp.logical_and(causal[None], extra_mask)[:, None, None]
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bgpts,bgsh->bgpth", probs, v)
+    return out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_positions: jax.Array,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Incremental GQA against a static-length cache.
+
+    Args:
+        q: (B, H, T, hd) — T new query steps (typically 1).
+        k_cache, v_cache: (B, G, S_max, hd) — already contain the new K/V.
+        q_positions: (T,) int32 absolute positions of the query steps.
+    Returns:
+        (B, T, H*hd)
+    """
+    b, h, t, hd = q.shape
+    g, s_max = k_cache.shape[1], k_cache.shape[2]
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    qg = _group_query_heads(q, g)
+    scores = jnp.einsum(
+        "bgpth,bgsh->bgpts", qg, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    key_idx = jnp.arange(s_max, dtype=jnp.int32)
+    mask = key_idx[None, :] <= q_positions[:, None]  # (T, S_max)
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bgpts,bgsh->bgpth", probs, v_cache)
+    return out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, h * hd)

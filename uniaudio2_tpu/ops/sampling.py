@@ -1,0 +1,99 @@
+"""Token sampling kernels (pure JAX, PRNG-keyed, host-sync free).
+
+The reference implements sync-free sampling with the exponential-race trick
+(`llm_utils/sampling.py:15-48`, `llm_models/model_new.py:141-156`):
+``argmax(softmax(masked_logits) / Exp(1))``. The mathematically identical TPU
+idiom is the Gumbel-max trick: ``argmax(masked_logits + Gumbel(0,1))`` — one
+fused elementwise + argmax, no host synchronisation, deterministic under an
+explicit PRNG key.
+
+`forbid_prefix` masking replicates `audio_sample_topk`
+(`model_new.py:158-187`): during the semantic phase of two-phase audio decode
+the reasoning sub-vocabulary ``[0, forbid_prefix)`` is forbidden. It is traced
+(a runtime scalar) so the whole two-phase decode loop stays inside one
+compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _mask_below_topk(logits: jax.Array, topk: int) -> jax.Array:
+    """Set everything below the k-th largest logit to -inf. Static ``topk``."""
+    if topk <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, topk)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def _mask_prefix(logits: jax.Array, forbid_prefix: jax.Array) -> jax.Array:
+    """Mask token ids ``< forbid_prefix`` (traced scalar) to -inf."""
+    vocab = logits.shape[-1]
+    ids = jnp.arange(vocab, dtype=jnp.int32)
+    return jnp.where(ids < forbid_prefix, NEG_INF, logits)
+
+
+def sample_topk(
+    key: jax.Array,
+    logits: jax.Array,
+    topk: int,
+    temperature: float,
+    forbid_prefix: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sample one token id per row from top-k(logits / temperature).
+
+    Equivalent in distribution to the reference `sample_topk` /
+    `audio_sample_topk` (`model_new.py:146-187`). ``topk`` and ``temperature``
+    are static; ``forbid_prefix`` may be a traced int scalar.
+
+    Args:
+        logits: ``(..., vocab)`` float array.
+    Returns:
+        ``(...,)`` int32 sampled ids.
+    """
+    scaled = logits.astype(jnp.float32) / jnp.float32(temperature)
+    if forbid_prefix is not None:
+        scaled = _mask_prefix(scaled, forbid_prefix)
+    if topk == 1:
+        # Greedy path: bit-identical to the reference's argmax over logits.
+        return jnp.argmax(scaled, axis=-1).astype(jnp.int32)
+    scaled = _mask_below_topk(scaled, topk)
+    gumbel = jax.random.gumbel(key, scaled.shape, dtype=jnp.float32)
+    return jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+
+
+def sample_topp(
+    key: jax.Array,
+    logits: jax.Array,
+    top_p: float,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Nucleus sampling (parity with `llm_utils/sampling.py:66-82`).
+
+    Keeps the smallest set of tokens whose cumulative probability exceeds
+    ``top_p``; samples within it via Gumbel-max.
+    """
+    scaled = logits.astype(jnp.float32) / jnp.float32(temperature)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+    # Threshold: smallest prob still inside the nucleus.
+    inside = cumsum - sorted_probs <= top_p
+    thresh = jnp.min(
+        jnp.where(inside, sorted_probs, jnp.inf), axis=-1, keepdims=True
+    )
+    masked = jnp.where(probs >= thresh, scaled, NEG_INF)
+    gumbel = jax.random.gumbel(key, masked.shape, dtype=jnp.float32)
+    return jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
+
+
+def cfg_mix(cond: jax.Array, uncond: jax.Array, scale: jax.Array) -> jax.Array:
+    """Classifier-free-guidance logit mix (reference `model_new.py:619,635`):
+    ``uncond + (cond - uncond) * scale``."""
+    return uncond + (cond - uncond) * scale

@@ -1,0 +1,134 @@
+"""Device meshes and parameter sharding rules.
+
+The reference's distributed story is FSDP/SDP/HSDP via torch wrappers
+(`llm_utils/arguments.py:65`, `llm_utils/train_utils.py:19-21,109-205`). The
+TPU-native equivalent (SURVEY.md §2.9) is declarative: build a
+`jax.sharding.Mesh`, annotate parameter shardings with `NamedSharding`, and
+let XLA SPMD insert the collectives.
+
+Axes:
+    * ``replica`` — pure data parallelism (gradients all-reduced). Maps to
+      DCN between slices in HSDP mode.
+    * ``fsdp``    — parameter/optimizer sharding with all-gather-on-use
+      (≡ torch FSDP/ZeRO-3). Rides ICI.
+    * ``tp``      — tensor parallelism over attention heads / MLP hidden
+      (the reference has none — SURVEY §2.9 — we provide it as an upgrade).
+
+Strategy mapping (reference `--data-parallel {fsdp,sdp,hsdp}`):
+    * ``sdp``  -> mesh (replica=N): replicate params, shard batch.
+    * ``fsdp`` -> mesh (fsdp=N): shard params on dim 0, shard batch.
+    * ``hsdp`` -> mesh (replica=A, fsdp=B): shard params within a slice,
+      replicate across slices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(
+    *,
+    replica: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    need = replica * fsdp * tp
+    if need != len(devices):
+        raise ValueError(
+            f"mesh ({replica}x{fsdp}x{tp}={need}) != #devices ({len(devices)})"
+        )
+    arr = np.asarray(devices).reshape(replica, fsdp, tp)
+    return Mesh(arr, axis_names=("replica", "fsdp", "tp"))
+
+
+def mesh_for_strategy(strategy: str, n_devices: Optional[int] = None,
+                      replica: Optional[int] = None) -> Mesh:
+    """Build a mesh matching a reference `--data-parallel` strategy name."""
+    n = n_devices or len(jax.devices())
+    if strategy == "sdp":
+        return build_mesh(replica=n)
+    if strategy == "fsdp":
+        return build_mesh(fsdp=n)
+    if strategy == "hsdp":
+        r = replica or _largest_divisor_leq(n, int(np.sqrt(n)))
+        return build_mesh(replica=r, fsdp=n // r)
+    raise ValueError(f"unknown data-parallel strategy: {strategy!r}")
+
+
+def _largest_divisor_leq(n: int, k: int) -> int:
+    for d in range(k, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules
+# ---------------------------------------------------------------------------
+
+_FSDP_MIN_SIZE = 2 ** 16  # don't shard tiny leaves (norm weights etc.)
+
+
+def _gpt_param_spec(path: Tuple[str, ...], leaf: jax.Array, tp: bool) -> P:
+    """PartitionSpec for one GPT parameter leaf.
+
+    Per-layer stacked leaves have shape (n_layer, in, out): FSDP shards the
+    *second* axis (a true dimension of each layer matrix) so all-gathers
+    stay per-layer; TP shards the output-feature axis of qkv/fc and the
+    input-feature axis of the projections (Megatron column/row split).
+    """
+    name = path[-1]
+    if leaf.size < _FSDP_MIN_SIZE or leaf.ndim < 2:
+        return P()
+    if name in ("wte", "lm_head_w"):
+        # (V, D) / (D, V): shard the vocab axis over fsdp, D over tp
+        if name == "wte":
+            return P("fsdp", "tp" if tp else None)
+        return P("fsdp", "tp" if tp else None) if not tp else P("fsdp", "tp")
+    if leaf.ndim == 3:  # stacked per-layer matrices (L, in, out)
+        if name in ("qkv_w", "fc1_w", "fc2_w"):
+            return P(None, "fsdp", "tp" if tp else None)  # column-parallel
+        if name in ("attn_proj_w", "mlp_proj_w"):
+            return P(None, "tp" if tp else None, "fsdp")  # row-parallel
+        return P(None, "fsdp")
+    if leaf.ndim == 2:
+        return P("fsdp")
+    return P()
+
+
+def unified_param_specs(params: Dict[str, Any], use_tp: bool = False):
+    """PartitionSpec pytree for the unified model's parameters."""
+
+    def spec_fn(path, leaf):
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        name = keys[-1]
+        if name == "audio_embeddings":
+            return P("fsdp", "tp" if use_tp else None)
+        if name == "audio_head":  # (ncb, D_dec, V_audio)
+            return P(None, "fsdp", "tp" if use_tp else None)
+        if name == "projection_w":
+            return P("fsdp", None)
+        return _gpt_param_spec(keys, leaf, use_tp)
+
+    return jax.tree_util.tree_map_with_path(spec_fn, params)
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh, use_tp: bool = False):
+    """Place parameters on the mesh according to the spec rules."""
+    specs = unified_param_specs(params, use_tp)
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_spec() -> P:
+    """Input batch sharding: batch over (replica, fsdp)."""
+    return P(("replica", "fsdp"))
