@@ -1,8 +1,14 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+The environment pins ``JAX_PLATFORMS=axon`` (a remote-TPU tunnel) and a
+sitecustomize hook registers that backend at interpreter start, so a
+``setdefault`` is not enough — force the platform via both the env var and
+the jax config (the config wins even after the axon backend is registered).
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +19,5 @@ if "xla_force_host_platform_device_count" not in flags:
 # float32 arrays; parity tests compare against torch fp32, so force full
 # precision for the test suite. Production TPU code runs bf16 params anyway.
 import jax
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

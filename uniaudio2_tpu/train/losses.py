@@ -1,0 +1,132 @@
+"""Training losses for the unified 9-stream audio LM.
+
+Same loss semantics as the reference's three criteria
+(`/root/reference/llm_models/model_new.py:38-109`):
+
+* ``ce_zero``     — codebook-0 CE, mean over masked steps (`:38-57`).
+* ``ce_text``     — text-stream CE, mean over masked steps (`:59-73`).
+* ``ce_residual`` — per-codebook CE for codebooks 1..7 with per-codebook
+  weights, averaged over the codebook count; normalised by the *row count*
+  like the reference (`:75-109`).
+
+Differences by design (not semantics): the reference gathers audio steps into
+a dense (N_audio, ...) tensor before the local decoder (data-dependent shape),
+so its residual loss normalises by N_audio rows. Here the local decoder runs
+at every step and masking happens inside the loss; normalising by the number
+of *masked* audio steps gives the identical expected gradient with static
+shapes.
+
+All reductions are in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_ce(
+    logits: jax.Array, y: jax.Array, mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Token-level CE and accuracy under a boolean mask.
+
+    Args:
+        logits: (..., V) float; y: (...) int; mask: (...) bool.
+    Returns:
+        (mean_loss, accuracy) — both scalars, normalised by mask count.
+    """
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]
+    nll = logz - gold
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(m.sum(), 1.0)
+    loss = (nll * m).sum() / denom
+    pred = jnp.argmax(logits, axis=-1)
+    acc = (jnp.logical_and(pred == y, mask)).astype(jnp.float32).sum() / denom
+    return loss, acc
+
+
+def ce_text(
+    text_logits: jax.Array, y: jax.Array, mask: jax.Array
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Text-stream loss (reference `CrossEntropyAndAccuracy_text`)."""
+    loss, acc = _masked_ce(text_logits, y, mask)
+    return loss, {"loss_text": loss, "acc_text": acc}
+
+
+def ce_zero(
+    logits_cb0: jax.Array, y_cb0: jax.Array, mask: jax.Array
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Codebook-0 loss (reference `CrossEntropyAndAccuracy_zero`)."""
+    loss, acc = _masked_ce(logits_cb0, y_cb0, mask)
+    return loss, {"loss_0": loss, "acc_0": acc}
+
+
+def ce_residual(
+    logits: jax.Array,
+    y: jax.Array,
+    mask: jax.Array,
+    weights: Sequence[float],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Residual-codebook loss (reference `CrossEntropyAndAccuracy_residual`).
+
+    Args:
+        logits: (B, S, R, V) — R residual codebooks (1..7).
+        y: (B, S, R) targets; mask: (B, S) audio-step mask.
+        weights: length-R per-codebook loss weights.
+    """
+    r = logits.shape[2]
+    assert len(weights) == r
+    w = jnp.asarray(list(weights), jnp.float32)
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]
+    nll = (logz - gold) * mask[..., None].astype(jnp.float32)  # (B,S,R)
+    denom = jnp.maximum(mask.astype(jnp.float32).sum(), 1.0)
+    per_cb = nll.sum(axis=(0, 1)) / denom  # (R,)
+    loss = (per_cb * w).sum() / r
+    pred = jnp.argmax(logits, axis=-1)
+    acc = (
+        jnp.logical_and(pred == y, mask[..., None]).astype(jnp.float32).sum(axis=(0, 1))
+        / denom
+    )
+    metrics = {f"loss_{i+1}": per_cb[i] for i in range(r)}
+    metrics.update({f"acc_{i+1}": acc[i] for i in range(r)})
+    return loss, metrics
+
+
+def unified_loss(
+    text_logits: jax.Array,
+    audio_logits: jax.Array,
+    text_labels: jax.Array,
+    audio_labels: jax.Array,
+    text_loss_mask: jax.Array,
+    audio_loss_mask: jax.Array,
+    residual_weights: Sequence[float] = (1.0,) * 7,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Combined loss of one training step.
+
+    Args:
+        text_logits: (B, S, V_text); audio_logits: (B, S, 8, V_audio).
+        text_labels: (B, S); audio_labels: (B, S, 8).
+        text_loss_mask / audio_loss_mask: (B, S) bool — which steps contribute
+            to the text / audio losses (the loss_key selection of the task
+            format DSL, `llm_utils/task_definition.py`).
+    """
+    l_text, m_text = ce_text(text_logits, text_labels, text_loss_mask)
+    l_zero, m_zero = ce_zero(
+        audio_logits[:, :, 0, :], audio_labels[:, :, 0], audio_loss_mask
+    )
+    l_res, m_res = ce_residual(
+        audio_logits[:, :, 1:, :], audio_labels[:, :, 1:], audio_loss_mask,
+        residual_weights,
+    )
+    loss = l_text + l_zero + l_res
+    metrics = {"loss": loss}
+    metrics.update(m_text)
+    metrics.update(m_zero)
+    metrics.update(m_res)
+    return loss, metrics

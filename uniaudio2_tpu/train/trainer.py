@@ -1,0 +1,135 @@
+"""Training step and state for the unified audio LM.
+
+The reference ships FSDP training *utilities* but no training entry script
+(SURVEY.md §0/§2.6). This module provides the TPU-native training core the
+utilities imply: a functional train state, an optax AdamW optimizer with
+clipping / weight decay / gradient accumulation
+(reference `llm_utils/arguments.py:56-68`), and a single jit-compiled
+SPMD train step whose parallelism comes entirely from sharding annotations
+(`parallel/mesh.py`) — the XLA equivalent of `--data-parallel {fsdp,sdp,hsdp}`.
+
+Batch layout (built by the data pipeline from the task grids):
+    grid:            (B, S+1, 9) int32 teacher-forcing token grid
+    grid_mask:       (B, S+1, 9) bool stream-activity mask
+    text_loss_mask:  (B, S) bool — steps whose *next* token is a text target
+    audio_loss_mask: (B, S) bool — steps whose next frame is an audio target
+Inputs are ``grid[:, :-1]``; labels are ``grid[:, 1:]`` (audio streams) and
+``grid[:, 1:, -1]`` (text stream) — the standard next-step factorization the
+reference implements with its `labels` argument.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from uniaudio2_tpu.config import UnifiedModelConfig
+from uniaudio2_tpu.models import unified
+from uniaudio2_tpu.train import losses
+from uniaudio2_tpu.train.masks import prefix_lm_mask
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+class Batch(NamedTuple):
+    grid: jax.Array              # (B, S+1, 9) int32
+    grid_mask: jax.Array         # (B, S+1, 9) bool
+    text_loss_mask: jax.Array    # (B, S) bool
+    audio_loss_mask: jax.Array   # (B, S) bool
+
+
+def make_optimizer(
+    schedule: optax.Schedule,
+    *,
+    weight_decay: float = 0.01,
+    grad_clip: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clipping (+ optional gradient accumulation),
+    matching the reference's training knobs (`arguments.py:56-68`)."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
+def init_train_state(
+    params: Params, tx: optax.GradientTransformation
+) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+
+
+def loss_fn(
+    params: Params,
+    cfg: UnifiedModelConfig,
+    batch: Batch,
+    *,
+    prefix_lm: bool = False,
+    residual_weights: Sequence[float] = (1.0,) * 7,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    tokens = batch.grid[:, :-1]
+    audio_labels = batch.grid[:, 1:, : cfg.tokens.num_codebooks]
+    text_labels = batch.grid[:, 1:, -1]
+    extra_mask = None
+    if prefix_lm:
+        # prefix = conditioning steps before the generated (loss) segment;
+        # use the union of text/audio loss masks as the target segment.
+        seg = jnp.logical_or(batch.text_loss_mask, batch.audio_loss_mask)
+        extra_mask = prefix_lm_mask(seg, prefix_lm=True)
+    text_logits, audio_logits = unified.forward(
+        params, cfg, tokens, audio_labels, batch.grid_mask,
+        extra_mask=extra_mask,
+    )
+    return losses.unified_loss(
+        text_logits, audio_logits, text_labels, audio_labels,
+        batch.text_loss_mask, batch.audio_loss_mask, residual_weights,
+    )
+
+
+def build_train_step(
+    cfg: UnifiedModelConfig,
+    tx: optax.GradientTransformation,
+    *,
+    prefix_lm: bool = False,
+    residual_weights: Sequence[float] = (1.0,) * 7,
+    remat: bool = True,
+):
+    """Returns ``train_step(state, batch) -> (state, metrics)``, jittable.
+
+    ``remat`` wraps the loss in `jax.checkpoint` (activation checkpointing,
+    reference `--activation-checkpointing`, `arguments.py:68`).
+    """
+
+    def _loss(params, batch):
+        return loss_fn(
+            params, cfg, batch, prefix_lm=prefix_lm,
+            residual_weights=residual_weights,
+        )
+
+    grad_source = jax.checkpoint(_loss) if remat else _loss
+
+    def train_step(state: TrainState, batch: Batch):
+        (loss, metrics), grads = jax.value_and_grad(grad_source, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
