@@ -246,6 +246,12 @@ class CodecDecoder:
     ) -> np.ndarray:
         """Returns the 24 kHz waveform (1, T_samples) float32."""
         cfg = self.cfg
+        if cfg.window_rec_frames < 4 or cfg.window_reason_frames < 4:
+            raise ValueError(
+                f"window_seconds={cfg.window_seconds} gives a degenerate "
+                f"chunk geometry (rec {cfg.window_rec_frames} / reason "
+                f"{cfg.window_reason_frames} frames; the ¾-hop needs ≥ 4)"
+            )
         t_rec_orig = rec_codes.shape[-1]
         target_samples = int(t_rec_orig / cfg.rec_hz * cfg.sample_rate)
 
