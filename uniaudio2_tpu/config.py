@@ -321,5 +321,12 @@ class UnifiedModelConfig:
         return cls(
             llm_name=_normalize_name(d["llm_name"]),
             decoder_name=_normalize_name(d["local_model"]),
+            understanding_expert_name=_normalize_name(
+                d.get("understanding_expert", "Llama-3.2-Understanding")
+            ),
+            generation_expert_name=_normalize_name(
+                d.get("generation_expert", "Llama-3.2-Generation")
+            ),
             tokens=tokens,
+            max_seq_len=int(d.get("max_seq_len", 2048)),
         )

@@ -1,0 +1,552 @@
+"""Codec checkpoint conversion: reference torch state dicts -> JAX params.
+
+Covers the three checkpoint files the reference codec loads
+(`/root/reference/tools/tokenizer/ReasoningCodec_film/reason_tokenizer.py:
+34-61`): the AudioDiffusion1D model dict (towers + VQs + FiLM + DiT), the
+SQCodec dict (``{"codec_model": ...}``), and their YAML configs.
+
+Name maps follow the reference module trees:
+* towers: ``whisper_encoder.*`` (HF Whisper encoder), ``wavlm_encoder.*``
+  (HF WavLM), ``pretrained_model.model.*`` (fairseq wav2vec2/MERT);
+* VQs: ``vector-quantize-pytorch`` ResidualVQ internals —
+  ``project_in/project_out`` linears + ``layers.{i}._codebook.embed``;
+* DiT: ``cfm_wrapper.estimator.*`` (ProjectLayer ``ffn_1``/``ffn_2``,
+  ``transformer_blocks.{i}.{attn1,ff,scale_shift_table}``,
+  ``adaln_single``);
+* reasoning: ``audio_thinking.*`` (weight-normed power-normalized blocks —
+  folded to plain weights here).
+
+Weight-norm folding handles both torch naming conventions
+(``weight_g``/``weight_v`` and ``parametrizations.weight.original{0,1}``).
+Conversion is shape-tolerant like the reference's `strict=False` load
+(`reason_tokenizer.py:60`): missing keys are reported, not fatal.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+import numpy as np
+
+
+class MissingKeys(list):
+    pass
+
+
+def fold_weight_norm(sd: Mapping[str, np.ndarray], base: str) -> Optional[np.ndarray]:
+    """Materialise a weight-normed tensor ``base + '.weight'`` from either
+    naming style; falls back to a plain ``.weight``."""
+    if base + ".weight" in sd:
+        return sd[base + ".weight"]
+    for g_key, v_key in (
+        (base + ".weight_g", base + ".weight_v"),
+        (base + ".parametrizations.weight.original0",
+         base + ".parametrizations.weight.original1"),
+    ):
+        if g_key in sd and v_key in sd:
+            g, v = sd[g_key], sd[v_key]
+            axes = tuple(range(1, v.ndim))  # default weight_norm dim=0
+            norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True)) + 1e-12
+            return g * v / norm
+    return None
+
+
+def _get(sd, key, missing):
+    if key in sd:
+        return sd[key]
+    missing.append(key)
+    return None
+
+
+def _linear(sd, base, missing, transpose=True):
+    w = _get(sd, base + ".weight", missing)
+    b = sd.get(base + ".bias")
+    out = {"w": w.T if (w is not None and transpose) else w}
+    out["b"] = b if b is not None else (
+        np.zeros((w.shape[0],), np.float32) if w is not None else None
+    )
+    return out
+
+
+def _conv1d(sd, base, missing, weight_normed=False):
+    """torch Conv1d (out, in, k) -> {"w": (k, in, out), "b"}."""
+    w = fold_weight_norm(sd, base) if weight_normed else _get(sd, base + ".weight", missing)
+    if w is None and weight_normed:
+        missing.append(base + ".weight")
+    b = sd.get(base + ".bias")
+    out_w = w.transpose(2, 1, 0) if w is not None else None
+    return {
+        "w": out_w,
+        "b": b if b is not None else (
+            np.zeros((w.shape[0],), np.float32) if w is not None else None
+        ),
+    }
+
+
+def convert_rvq(sd: Mapping[str, np.ndarray], prefix: str, missing) -> Dict[str, Any]:
+    """vector-quantize-pytorch ResidualVQ -> rvq.Params."""
+    pin = _linear(sd, prefix + "project_in", missing)
+    pout = _linear(sd, prefix + "project_out", missing)
+    books = []
+    i = 0
+    while True:
+        key = f"{prefix}layers.{i}._codebook.embed"
+        if key not in sd:
+            break
+        emb = sd[key]
+        if emb.ndim == 3:  # (heads=1, K, d)
+            emb = emb[0]
+        books.append(emb)
+        i += 1
+    if not books:
+        missing.append(prefix + "layers.0._codebook.embed")
+        return {}
+    return {
+        "project_in_w": pin["w"], "project_in_b": pin["b"],
+        "project_out_w": pout["w"], "project_out_b": pout["b"],
+        "codebooks": np.stack(books),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Tower converters (HF-style subtrees inside the codec dict)
+# ---------------------------------------------------------------------------
+
+
+def convert_whisper_encoder(sd, prefix, n_layers, missing) -> Dict[str, Any]:
+    def st(fmt, transpose=False):
+        arrs = []
+        for i in range(n_layers):
+            w = _get(sd, prefix + fmt.format(i), missing)
+            arrs.append(w.T if (transpose and w is not None and w.ndim == 2)
+                        else (w if w is not None else np.zeros(1, np.float32)))
+        return np.stack(arrs)
+
+    return {
+        "conv1": _conv1d(sd, prefix + "conv1", missing),
+        "conv2": _conv1d(sd, prefix + "conv2", missing),
+        "pos_embed": _get(sd, prefix + "embed_positions.weight", missing),
+        "layers": {
+            "ln1_w": st("layers.{}.self_attn_layer_norm.weight"),
+            "ln1_b": st("layers.{}.self_attn_layer_norm.bias"),
+            "q_w": st("layers.{}.self_attn.q_proj.weight", True),
+            "q_b": st("layers.{}.self_attn.q_proj.bias"),
+            "k_w": st("layers.{}.self_attn.k_proj.weight", True),
+            "v_w": st("layers.{}.self_attn.v_proj.weight", True),
+            "v_b": st("layers.{}.self_attn.v_proj.bias"),
+            "out_w": st("layers.{}.self_attn.out_proj.weight", True),
+            "out_b": st("layers.{}.self_attn.out_proj.bias"),
+            "ln2_w": st("layers.{}.final_layer_norm.weight"),
+            "ln2_b": st("layers.{}.final_layer_norm.bias"),
+            "fc1_w": st("layers.{}.fc1.weight", True),
+            "fc1_b": st("layers.{}.fc1.bias"),
+            "fc2_w": st("layers.{}.fc2.weight", True),
+            "fc2_b": st("layers.{}.fc2.bias"),
+        },
+        "ln_f_w": _get(sd, prefix + "layer_norm.weight", missing),
+        "ln_f_b": _get(sd, prefix + "layer_norm.bias", missing),
+    }
+
+
+def convert_wavlm(sd, prefix, n_layers, n_convs, missing) -> Dict[str, Any]:
+    convs = []
+    for i in range(n_convs):
+        c = _conv1d(sd, f"{prefix}feature_extractor.conv_layers.{i}.conv", missing)
+        if i == 0:
+            c["gn_w"] = _get(sd, f"{prefix}feature_extractor.conv_layers.0.layer_norm.weight", missing)
+            c["gn_b"] = _get(sd, f"{prefix}feature_extractor.conv_layers.0.layer_norm.bias", missing)
+        c.pop("b", None)  # HF wavlm convs are bias-free
+        convs.append(c)
+
+    def st(fmt, transpose=False):
+        arrs = []
+        for i in range(n_layers):
+            w = _get(sd, prefix + fmt.format(i), missing)
+            arrs.append(w.T if (transpose and w is not None and w.ndim == 2)
+                        else (w if w is not None else np.zeros(1, np.float32)))
+        return np.stack(arrs)
+
+    pos_w = fold_weight_norm(sd, prefix + "encoder.pos_conv_embed.conv")
+    if pos_w is None:
+        missing.append(prefix + "encoder.pos_conv_embed.conv.weight")
+    fp = _linear(sd, prefix + "feature_projection.projection", missing)
+    gru_const = np.stack([
+        np.asarray(_get(sd, f"{prefix}encoder.layers.{i}.attention.gru_rel_pos_const", missing)).reshape(-1)
+        for i in range(n_layers)
+    ])
+    return {
+        "convs": convs,
+        "fp_ln_w": _get(sd, prefix + "feature_projection.layer_norm.weight", missing),
+        "fp_ln_b": _get(sd, prefix + "feature_projection.layer_norm.bias", missing),
+        "fp_w": fp["w"], "fp_b": fp["b"],
+        "pos_conv_w": pos_w.transpose(2, 1, 0) if pos_w is not None else None,
+        "pos_conv_b": _get(sd, prefix + "encoder.pos_conv_embed.conv.bias", missing),
+        "ln0_w": _get(sd, prefix + "encoder.layer_norm.weight", missing),
+        "ln0_b": _get(sd, prefix + "encoder.layer_norm.bias", missing),
+        "rel_attn_embed": _get(
+            sd, prefix + "encoder.layers.0.attention.rel_attn_embed.weight", missing
+        ),
+        "layers": {
+            "q_w": st("encoder.layers.{}.attention.q_proj.weight", True),
+            "q_b": st("encoder.layers.{}.attention.q_proj.bias"),
+            "k_w": st("encoder.layers.{}.attention.k_proj.weight", True),
+            "k_b": st("encoder.layers.{}.attention.k_proj.bias"),
+            "v_w": st("encoder.layers.{}.attention.v_proj.weight", True),
+            "v_b": st("encoder.layers.{}.attention.v_proj.bias"),
+            "out_w": st("encoder.layers.{}.attention.out_proj.weight", True),
+            "out_b": st("encoder.layers.{}.attention.out_proj.bias"),
+            "gru_w": st("encoder.layers.{}.attention.gru_rel_pos_linear.weight", True),
+            "gru_b": st("encoder.layers.{}.attention.gru_rel_pos_linear.bias"),
+            "gru_const": gru_const,
+            "ln1_w": st("encoder.layers.{}.layer_norm.weight"),
+            "ln1_b": st("encoder.layers.{}.layer_norm.bias"),
+            "ff1_w": st("encoder.layers.{}.feed_forward.intermediate_dense.weight", True),
+            "ff1_b": st("encoder.layers.{}.feed_forward.intermediate_dense.bias"),
+            "ff2_w": st("encoder.layers.{}.feed_forward.output_dense.weight", True),
+            "ff2_b": st("encoder.layers.{}.feed_forward.output_dense.bias"),
+            "ln2_w": st("encoder.layers.{}.final_layer_norm.weight"),
+            "ln2_b": st("encoder.layers.{}.final_layer_norm.bias"),
+        },
+    }
+
+
+def convert_fairseq_ssl(sd, prefix, n_layers, n_convs, missing) -> Dict[str, Any]:
+    """fairseq wav2vec2/MERT encoder subtree -> ssl_encoder params."""
+    convs = []
+    for i in range(n_convs):
+        c = _conv1d(sd, f"{prefix}feature_extractor.conv_layers.{i}.0", missing)
+        c.pop("b", None)
+        if i == 0:
+            gw = sd.get(f"{prefix}feature_extractor.conv_layers.0.2.weight")
+            gb = sd.get(f"{prefix}feature_extractor.conv_layers.0.2.bias")
+            if gw is not None:
+                c["gn_w"], c["gn_b"] = gw, gb
+        convs.append(c)
+
+    def st(fmt, transpose=False):
+        arrs = []
+        for i in range(n_layers):
+            w = _get(sd, prefix + fmt.format(i), missing)
+            arrs.append(w.T if (transpose and w is not None and w.ndim == 2)
+                        else (w if w is not None else np.zeros(1, np.float32)))
+        return np.stack(arrs)
+
+    pos_w = fold_weight_norm(sd, prefix + "encoder.pos_conv.0")
+    proj = _linear(sd, prefix + "post_extract_proj", missing)
+    return {
+        "convs": convs,
+        "feat_ln_w": _get(sd, prefix + "layer_norm.weight", missing),
+        "feat_ln_b": _get(sd, prefix + "layer_norm.bias", missing),
+        "proj_w": proj["w"], "proj_b": proj["b"],
+        "pos_conv_w": pos_w.transpose(2, 1, 0) if pos_w is not None else None,
+        "pos_conv_b": _get(sd, prefix + "encoder.pos_conv.0.bias", missing),
+        "enc_ln_w": _get(sd, prefix + "encoder.layer_norm.weight", missing),
+        "enc_ln_b": _get(sd, prefix + "encoder.layer_norm.bias", missing),
+        "layers": {
+            "q_w": st("encoder.layers.{}.self_attn.q_proj.weight", True),
+            "q_b": st("encoder.layers.{}.self_attn.q_proj.bias"),
+            "k_w": st("encoder.layers.{}.self_attn.k_proj.weight", True),
+            "k_b": st("encoder.layers.{}.self_attn.k_proj.bias"),
+            "v_w": st("encoder.layers.{}.self_attn.v_proj.weight", True),
+            "v_b": st("encoder.layers.{}.self_attn.v_proj.bias"),
+            "out_w": st("encoder.layers.{}.self_attn.out_proj.weight", True),
+            "out_b": st("encoder.layers.{}.self_attn.out_proj.bias"),
+            "ln1_w": st("encoder.layers.{}.self_attn_layer_norm.weight"),
+            "ln1_b": st("encoder.layers.{}.self_attn_layer_norm.bias"),
+            "ff1_w": st("encoder.layers.{}.fc1.weight", True),
+            "ff1_b": st("encoder.layers.{}.fc1.bias"),
+            "ff2_w": st("encoder.layers.{}.fc2.weight", True),
+            "ff2_b": st("encoder.layers.{}.fc2.bias"),
+            "ln2_w": st("encoder.layers.{}.final_layer_norm.weight"),
+            "ln2_b": st("encoder.layers.{}.final_layer_norm.bias"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# DiT + reasoning + ScalarAE
+# ---------------------------------------------------------------------------
+
+
+def convert_dit(sd, prefix, n_layers, missing) -> Dict[str, Any]:
+    def st(fmt, transpose=False):
+        arrs = []
+        for i in range(n_layers):
+            w = _get(sd, prefix + fmt.format(i), missing)
+            arrs.append(w.T if (transpose and w is not None and w.ndim == 2)
+                        else (w if w is not None else np.zeros(1, np.float32)))
+        return np.stack(arrs)
+
+    def qkv():
+        out = []
+        for i in range(n_layers):
+            parts_w, parts_b = [], []
+            for p in ("to_q", "to_k", "to_v"):
+                w = _get(sd, f"{prefix}transformer_blocks.{i}.attn1.{p}.weight", missing)
+                b = sd.get(f"{prefix}transformer_blocks.{i}.attn1.{p}.bias")
+                parts_w.append(w.T if w is not None else None)
+                parts_b.append(b if b is not None else np.zeros(w.shape[0]))
+            out.append((np.concatenate(parts_w, -1), np.concatenate(parts_b, -1)))
+        return np.stack([o[0] for o in out]), np.stack([o[1] for o in out])
+
+    qkv_w, qkv_b = qkv()
+    t1 = _linear(sd, prefix + "adaln_single.emb.timestep_embedder.linear_1", missing)
+    t2 = _linear(sd, prefix + "adaln_single.emb.timestep_embedder.linear_2", missing)
+    ada = _linear(sd, prefix + "adaln_single.linear", missing)
+    pi_c = _conv1d(sd, prefix + "proj_in.ffn_1", missing)
+    pi_l = _linear(sd, prefix + "proj_in.ffn_2", missing)
+    po_c = _conv1d(sd, prefix + "proj_out.ffn_1", missing)
+    po_l = _linear(sd, prefix + "proj_out.ffn_2", missing)
+    return {
+        "proj_in": {"conv_w": pi_c["w"], "conv_b": pi_c["b"],
+                    "lin_w": pi_l["w"], "lin_b": pi_l["b"]},
+        "t_embed": {"w1": t1["w"], "b1": t1["b"], "w2": t2["w"], "b2": t2["b"]},
+        "adaln": {"w": ada["w"], "b": ada["b"]},
+        "blocks": {
+            "sst": np.stack([
+                _get(sd, f"{prefix}transformer_blocks.{i}.scale_shift_table", missing)
+                for i in range(n_layers)
+            ]),
+            "qkv_w": qkv_w, "qkv_b": qkv_b,
+            "attn_out_w": st("transformer_blocks.{}.attn1.to_out.0.weight", True),
+            "attn_out_b": st("transformer_blocks.{}.attn1.to_out.0.bias"),
+            "ff1_w": st("transformer_blocks.{}.ff.net.0.proj.weight", True),
+            "ff1_b": st("transformer_blocks.{}.ff.net.0.proj.bias"),
+            "ff2_w": st("transformer_blocks.{}.ff.net.2.weight", True),
+            "ff2_b": st("transformer_blocks.{}.ff.net.2.bias"),
+        },
+        "out": {
+            "sst": _get(sd, prefix + "scale_shift_table", missing),
+            "conv_w": po_c["w"], "conv_b": po_c["b"],
+            "lin_w": po_l["w"], "lin_b": po_l["b"],
+        },
+    }
+
+
+def convert_reasoning(sd, prefix, depth, missing) -> Dict[str, Any]:
+    def fold_lin(base):
+        w = fold_weight_norm(sd, base)
+        if w is None:
+            missing.append(base + ".weight")
+            return {"w": None, "b": None}
+        b = sd.get(base + ".bias")
+        return {"w": w.T, "b": b if b is not None else np.zeros(w.shape[0])}
+
+    def st_fold(fmt, bias_fmt=None):
+        ws, bs = [], []
+        for i in range(depth):
+            lin = fold_lin(prefix + fmt.format(i))
+            ws.append(lin["w"])
+            bs.append(lin["b"])
+        return np.stack(ws), np.stack(bs)
+
+    qkv_w, _ = st_fold("encoder_transformers.{}.self_attn.to_qkv")
+    out_w, _ = st_fold("encoder_transformers.{}.self_attn.to_out")
+    glu_w, glu_b = st_fold("encoder_transformers.{}.ff.ff.0.proj")
+    ffo_w, ffo_b = st_fold("encoder_transformers.{}.ff.ff.1")
+
+    def st(fmt):
+        return np.stack([
+            _get(sd, prefix + fmt.format(i), missing) for i in range(depth)
+        ])
+
+    merge = _linear(sd, prefix + "semantic_merge_proj", missing)
+    return {
+        "cls_token": np.asarray(
+            _get(sd, prefix + "cls_token", missing)
+        ).reshape(-1),
+        "whisper_down": _conv1d(sd, prefix + "down_sampling_layer_whisper", missing),
+        "merge_proj": merge,
+        "blocks": {
+            "qkv_w": qkv_w,
+            "q_norm_w": st("encoder_transformers.{}.self_attn.q_norm.weight"),
+            "q_norm_b": st("encoder_transformers.{}.self_attn.q_norm.bias"),
+            "k_norm_w": st("encoder_transformers.{}.self_attn.k_norm.weight"),
+            "k_norm_b": st("encoder_transformers.{}.self_attn.k_norm.bias"),
+            "attn_out_w": out_w,
+            "attn_scale": st("encoder_transformers.{}.self_attn_scale.scale"),
+            "glu_w": glu_w, "glu_b": glu_b,
+            "ff_out_w": ffo_w, "ff_out_b": ffo_b,
+            "ff_scale": st("encoder_transformers.{}.ff_scale.scale"),
+        },
+        "rvq": convert_rvq(sd, prefix + "reasoning_vq.", missing),
+    }
+
+
+def convert_scalar_ae(sd: Mapping[str, np.ndarray], cfg) -> Tuple[Dict[str, Any], List[str]]:
+    """SQCodec ``codec_model`` dict -> scalar_ae params (weight-norm folded).
+
+    Module index layout (reference `scalar24k.py:306-378`):
+    encoder: [conv, PreProcessor?, ResEncoderBlock×N, conv]
+    decoder: [conv, ResDecoderBlock×N, PostProcessor?, conv]
+    """
+    missing: List[str] = []
+
+    def conv(base):
+        return _conv1d(sd, base, missing, weight_normed=True)
+
+    def prelu(base):
+        a = sd.get(base + ".weight")
+        return np.asarray(a).reshape(-1) if a is not None else np.full((1,), 0.25)
+
+    def res_unit(base):
+        return {
+            "conv1": conv(base + ".conv1"), "conv2": conv(base + ".conv2"),
+            "a1": prelu(base + ".activation1"), "a2": prelu(base + ".activation2"),
+        }
+
+    nd = len(cfg.downsample_factors)
+    has_pre = cfg.num_samples > 1
+    idx = 0
+    enc_in = conv(f"encoder.{idx}")
+    idx += 1
+    pre = None
+    if has_pre:
+        pre = {"conv": conv(f"encoder.{idx}.conv"),
+               "a": prelu(f"encoder.{idx}.activation")}
+        idx += 1
+    enc_blocks = []
+    for _ in range(nd):
+        units = [res_unit(f"encoder.{idx}.convs.{j}") for j in range(5)]
+        down = {"conv": conv(f"encoder.{idx}.down_conv.layer"),
+                "a": prelu(f"encoder.{idx}.down_conv.activation")}
+        enc_blocks.append({"units": units, "down": down})
+        idx += 1
+    enc_out = conv(f"encoder.{idx}")
+
+    idx = 0
+    dec_in = conv(f"decoder.{idx}")
+    idx += 1
+    dec_blocks = []
+    for _ in range(nd):
+        up = {"conv": conv(f"decoder.{idx}.up_conv.layer"),
+              "a": prelu(f"decoder.{idx}.up_conv.activation")}
+        units = [res_unit(f"decoder.{idx}.convs.{j}") for j in range(5)]
+        dec_blocks.append({"up": up, "units": units})
+        idx += 1
+    post = None
+    if has_pre:
+        post = {"conv": conv(f"decoder.{idx}.conv"),
+                "a": prelu(f"decoder.{idx}.activation")}
+        idx += 1
+    dec_out = conv(f"decoder.{idx}")
+    params = {
+        "enc_in": enc_in, "pre": pre, "enc_blocks": enc_blocks,
+        "enc_out": enc_out, "dec_in": dec_in, "dec_blocks": dec_blocks,
+        "post": post, "dec_out": dec_out,
+    }
+    # transposed convs (up_conv.layer) are torch (in, out, k): re-orient to
+    # our (k, in, out) — _conv1d assumed (out, in, k)
+    for blk in dec_blocks:
+        w = blk["up"]["conv"]["w"]
+        if w is not None:
+            blk["up"]["conv"]["w"] = w.transpose(0, 2, 1)
+    return params, missing
+
+
+# ---------------------------------------------------------------------------
+# Top-level loader
+# ---------------------------------------------------------------------------
+
+
+def convert_codec_checkpoint(sd, enc_cfg, codec_cfg):
+    """Full AudioDiffusion1D dict -> (encode_params, decode_params, missing)."""
+    missing: List[str] = []
+    rvq_phone = convert_rvq(sd, "vq_pronunciation_semantic.", missing)
+    rvq_sem = convert_rvq(sd, "vq_structure_semantic.", missing)
+    rvq_ac = convert_rvq(sd, "vq_acoustic.", missing)
+    reason_adaptor = _linear(sd, "reason_adaptor", missing)
+    reasoning = convert_reasoning(
+        sd, "audio_thinking.", enc_cfg.reasoning.depth, missing
+    )
+    encode_params = {
+        "whisper": convert_whisper_encoder(
+            sd, "whisper_encoder.", enc_cfg.whisper.n_layers, missing),
+        "wavlm": convert_wavlm(
+            sd, "wavlm_encoder.", enc_cfg.wavlm.num_layers,
+            len(enc_cfg.wavlm.conv_dim), missing),
+        "ssl": convert_fairseq_ssl(
+            sd, "pretrained_model.model.", enc_cfg.ssl.num_layers,
+            len(enc_cfg.ssl.conv_dim), missing),
+        "reasoning": reasoning,
+        "d_conv_whisper": _conv1d(sd, "d_conv_whisper", missing),
+        "d_conv_wavlm": _conv1d(sd, "d_conv_wavlm", missing),
+        "d_conv_semantic": _conv1d(sd, "d_conv_embedding_semantic", missing),
+        "d_conv_acoustic": _conv1d(sd, "d_conv_embedding_acoustic", missing),
+        "fusion_phone": _linear(sd, "cond_fusion_layer_phone", missing),
+        "fusion_semantic": _linear(sd, "cond_fusion_layer_semantic", missing),
+        "fusion_acoustic": _linear(sd, "cond_fusion_layer_acoustic", missing),
+        "film_phone": _linear(sd, "time_film_phone", missing),
+        "film_semantic": _linear(sd, "time_film_semantic", missing),
+        "film_acoustic": _linear(sd, "time_film_acoustic", missing),
+        "rvq_phone": rvq_phone, "rvq_semantic": rvq_sem, "rvq_acoustic": rvq_ac,
+        "reason_adaptor": reason_adaptor,
+    }
+    cfe = _linear(sd, "cond_feature_emb", missing)
+    decode_params = {
+        "rvq_phone": rvq_phone, "rvq_semantic": rvq_sem, "rvq_acoustic": rvq_ac,
+        "rvq_reasoning": reasoning.get("rvq", {}),
+        "reason_adaptor": reason_adaptor,
+        "cond_feature_emb": cfe,
+        "zero_cond_embedding": _get(sd, "zero_cond_embedding1", missing),
+        "dit": convert_dit(
+            sd, "cfm_wrapper.estimator.", codec_cfg.dit.num_layers, missing),
+    }
+    return encode_params, decode_params, missing
+
+
+def load_tokenizer(config_path: Optional[str], ckpt_path: Optional[str],
+                   *, need_decode: bool):
+    """Build a ReasoningCodecTokenizer from reference-style config + ckpt.
+
+    Reads the codec train yaml (`infer_config.yaml` fields) for sub-config
+    paths, converts the torch dict, and loads the SQCodec checkpoint
+    referenced by ``sq_resume``."""
+    import yaml
+    from uniaudio2_tpu.codec.decoder import CodecConfig
+    from uniaudio2_tpu.codec.encoder import EncoderConfig
+    from uniaudio2_tpu.codec.scalar_ae import ScalarAEConfig
+    from uniaudio2_tpu.codec.tokenizer import ReasoningCodecTokenizer
+    from uniaudio2_tpu.convert.torch_to_jax import load_torch_state_dict, to_jax
+
+    enc_cfg = EncoderConfig()
+    codec_cfg = CodecConfig()
+    sq_resume = None
+    if config_path:
+        with open(config_path, encoding="utf-8") as f:
+            train_args = yaml.safe_load(f)
+        sq_cfg_path = train_args.get("sq_config")
+        sq_resume = train_args.get("sq_resume")
+        if sq_cfg_path:
+            try:
+                with open(sq_cfg_path, encoding="utf-8") as f:
+                    sq_yaml = yaml.safe_load(f)
+                gen_cfg = sq_yaml["generator"]["config"]
+                codec_cfg = CodecConfig(
+                    scalar=ScalarAEConfig(**{
+                        k: tuple(v) if isinstance(v, list) else v
+                        for k, v in gen_cfg.items()
+                        if k in ScalarAEConfig.__dataclass_fields__
+                    })
+                )
+            except (OSError, KeyError) as e:
+                print(f"[codec] sq_config not loadable ({e}); using defaults")
+    if ckpt_path is None:
+        raise ValueError("codec checkpoint path required")
+    sd = load_torch_state_dict(ckpt_path)
+    encode_params, decode_params, missing = convert_codec_checkpoint(
+        sd, enc_cfg, codec_cfg
+    )
+    if missing:
+        print(f"[codec] {len(missing)} keys missing (first: {missing[:3]})")
+    if need_decode and sq_resume:
+        sq_sd = load_torch_state_dict(sq_resume)
+        scalar, m2 = convert_scalar_ae(sq_sd, codec_cfg.scalar)
+        decode_params["scalar"] = scalar
+        if m2:
+            print(f"[codec] scalar: {len(m2)} keys missing")
+    return ReasoningCodecTokenizer(
+        to_jax(encode_params), to_jax(decode_params) if need_decode else None,
+        enc_cfg, codec_cfg,
+    )

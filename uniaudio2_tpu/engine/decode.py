@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uniaudio2_tpu.config import UnifiedModelConfig
-from uniaudio2_tpu.models import unified
+from uniaudio2_tpu.models import gpt, unified
 from uniaudio2_tpu.models.unified import UnifiedCaches
 
 Params = Dict[str, Any]
@@ -279,9 +279,17 @@ class DecodeEngine:
         temperature: float = 0.9,
         topk: int = 1,
         seed: int = 888,
+        no_repeat_ngram: int = 0,
     ) -> np.ndarray:
         """Text-output decode (ASR / captioning / QA). Returns the generated
-        text token ids (1-D, EOS excluded)."""
+        text token ids (1-D, EOS excluded). With ``no_repeat_ngram`` > 0 the
+        host-driven blocked-sampling path is used (reference
+        `generate_asr_with_ngram_sampling`, `asr_task.py:329`)."""
+        if no_repeat_ngram > 0:
+            return self._generate_text_host(
+                grid, mask, temperature=temperature, topk=topk, seed=seed,
+                no_repeat_ngram=no_repeat_ngram,
+            )
         g, m, length, bucket = self._pad_grid(grid, mask, False, None, None)
         fn = self._get("text", bucket, temperature, topk, False)
         text_out, _, _, n = fn(
@@ -292,6 +300,170 @@ class DecodeEngine:
         n = int(n)
         toks = text[:n]
         return toks[toks >= 0]
+
+    # ------------------------------------------------------------------
+    # Host-driven single-step decoding (ngram blocking / beam search).
+    # The reference's beam search calls a method that does not exist
+    # (`asr_task.py:593`, SURVEY.md §7 "known defects"); this is the working
+    # single-step-logits API it needed: prefill + per-step text logits, with
+    # the host supplying the search control.
+    # ------------------------------------------------------------------
+
+    def _get_host_step(self, bucket: int, batch: int):
+        key = ("host", bucket, batch)
+        if key not in self._compiled:
+            cfg = self.cfg
+
+            def prefill_fn(params, grid, grid_mask):
+                caches = unified.init_caches(cfg, batch, dtype=self.cache_dtype)
+                return unified.prefill(
+                    params, cfg, grid[:, :-1], grid_mask[:, :-1], caches
+                )
+
+            def step_fn(params, tokens, mask, caches, pos):
+                last_h, caches = unified.decode_hidden(
+                    params, cfg, tokens, mask, caches, pos
+                )
+                return gpt.lm_head(params["backbone"], last_h), caches
+
+            def reorder_fn(caches, order):
+                return jax.tree_util.tree_map(
+                    lambda c: jnp.take(c, order, axis=1), caches
+                )
+
+            self._compiled[key] = (
+                jax.jit(prefill_fn), jax.jit(step_fn), jax.jit(reorder_fn)
+            )
+        return self._compiled[key]
+
+    def _text_feedback(self, text_tokens: np.ndarray):
+        """(B,) text ids -> (B, 1, 9) tokens + text-only mask."""
+        b = text_tokens.shape[0]
+        par = self.cfg.tokens.parallel_number
+        toks = np.zeros((b, 1, par), np.int32)
+        toks[:, 0, -1] = text_tokens
+        m = np.zeros((b, 1, par), bool)
+        m[:, :, -1] = True
+        return jnp.asarray(toks), jnp.asarray(m)
+
+    def _generate_text_host(
+        self, grid, mask, *, temperature, topk, seed, no_repeat_ngram
+    ) -> np.ndarray:
+        ts = self.cfg.tokens
+        length = grid.shape[0]
+        bucket = pick_bucket(length, self.buckets)
+        par = ts.parallel_number
+        g = np.zeros((1, bucket, par), np.int32)
+        m = np.zeros((1, bucket, par), bool)
+        g[0, :length], m[0, :length] = grid, mask
+        prefill_fn, step_fn, _ = self._get_host_step(bucket, 1)
+        caches = prefill_fn(self.params, jnp.asarray(g), jnp.asarray(m))
+
+        rng = np.random.default_rng(seed)
+        out: list = []
+        tokens = jnp.asarray(g[:, length - 1 : length])
+        tmask = jnp.asarray(m[:, length - 1 : length])
+        pos = length - 1
+        for _ in range(self.max_frames):
+            logits, caches = step_fn(self.params, tokens, tmask, caches, jnp.int32(pos))
+            lg = np.asarray(logits[0], np.float64) / max(temperature, 1e-6)
+            if no_repeat_ngram > 1 and len(out) >= no_repeat_ngram - 1:
+                banned = _banned_ngram_tokens(out, no_repeat_ngram)
+                lg[list(banned)] = -np.inf
+            if topk > 1:
+                kth = np.partition(lg, -topk)[-topk]
+                lg[lg < kth] = -np.inf
+                gumbel = rng.gumbel(size=lg.shape)
+                tok = int(np.argmax(lg + gumbel))
+            else:
+                tok = int(np.argmax(lg))
+            if tok == ts.text_eos:
+                break
+            out.append(tok)
+            tokens, tmask = self._text_feedback(np.asarray([tok]))
+            pos += 1
+            if pos >= self.cfg.max_seq_len - 1:
+                break
+        return np.asarray(out, np.int64)
+
+    def generate_text_beam(
+        self,
+        grid: np.ndarray,
+        mask: np.ndarray,
+        *,
+        beam_size: int = 4,
+        length_penalty: float = 1.0,
+        max_steps: Optional[int] = None,
+    ) -> np.ndarray:
+        """Beam search over the text stream (the working replacement for the
+        reference's broken `generate_asr_beam_search`, `asr_task.py:438-596`;
+        length-penalised scoring per `:523`)."""
+        ts = self.cfg.tokens
+        length = grid.shape[0]
+        bucket = pick_bucket(length, self.buckets)
+        par = ts.parallel_number
+        g = np.zeros((beam_size, bucket, par), np.int32)
+        m = np.zeros((beam_size, bucket, par), bool)
+        g[:, :length], m[:, :length] = grid, mask
+        prefill_fn, step_fn, reorder_fn = self._get_host_step(bucket, beam_size)
+        caches = prefill_fn(self.params, jnp.asarray(g), jnp.asarray(m))
+
+        scores = np.full((beam_size,), -np.inf)
+        scores[0] = 0.0  # all beams identical at step 0
+        seqs: list = [[] for _ in range(beam_size)]
+        alive = np.ones((beam_size,), bool)
+        finished: list = []  # (score, seq)
+
+        tokens = jnp.asarray(g[:, length - 1 : length])
+        tmask = jnp.asarray(m[:, length - 1 : length])
+        pos = length - 1
+        steps = max_steps or self.max_frames
+        for _ in range(steps):
+            logits, caches = step_fn(self.params, tokens, tmask, caches, jnp.int32(pos))
+            logp = np.asarray(
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            )
+            total = scores[:, None] + np.where(alive[:, None], logp, -np.inf)
+            flat = total.reshape(-1)
+            top = np.argpartition(flat, -beam_size)[-beam_size:]
+            top = top[np.argsort(flat[top])[::-1]]
+            v = logp.shape[-1]
+            new_seqs, new_scores, order, next_toks = [], [], [], []
+            for idx in top:
+                b_idx, tok = int(idx // v), int(idx % v)
+                cand_seq = seqs[b_idx] + [tok]
+                cand_score = float(flat[idx])
+                if tok == ts.text_eos:
+                    lp = max(len(cand_seq) - 1, 1) ** length_penalty
+                    finished.append((cand_score / lp, seqs[b_idx]))
+                    continue
+                new_seqs.append(cand_seq)
+                new_scores.append(cand_score)
+                order.append(b_idx)
+                next_toks.append(tok)
+            if not new_seqs:
+                break
+            while len(new_seqs) < beam_size:  # refill slots with worst beam
+                new_seqs.append(new_seqs[-1])
+                new_scores.append(-np.inf)
+                order.append(order[-1])
+                next_toks.append(next_toks[-1])
+            seqs = new_seqs
+            scores = np.asarray(new_scores)
+            caches = reorder_fn(caches, jnp.asarray(order, jnp.int32))
+            tokens, tmask = self._text_feedback(np.asarray(next_toks))
+            pos += 1
+            if pos >= self.cfg.max_seq_len - 1:
+                break
+            if finished and len(finished) >= beam_size:
+                break
+        if not finished:
+            finished = [
+                (s / max(len(q), 1) ** length_penalty, q)
+                for s, q in zip(scores, seqs)
+            ]
+        best = max(finished, key=lambda x: x[0])[1]
+        return np.asarray(best, np.int64)
 
     def generate_audio(
         self,
@@ -321,6 +493,16 @@ class DecodeEngine:
             np.asarray(audio_out), np.asarray(phase_out), int(n),
             self.cfg.tokens.audio_reason_card,
         )
+
+
+def _banned_ngram_tokens(history, n: int):
+    """Next tokens that would complete an already-seen n-gram."""
+    banned = set()
+    prefix = tuple(history[-(n - 1):])
+    for i in range(len(history) - n + 1):
+        if tuple(history[i : i + n - 1]) == prefix:
+            banned.add(history[i + n - 1])
+    return banned
 
 
 def split_two_phase(

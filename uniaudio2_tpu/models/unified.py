@@ -267,6 +267,37 @@ def prefill(
 # ---------------------------------------------------------------------------
 
 
+def decode_hidden(
+    params: Params,
+    cfg: UnifiedModelConfig,
+    tokens: jax.Array,
+    tokens_mask: jax.Array,
+    caches: UnifiedCaches,
+    pos: jax.Array,
+) -> Tuple[jax.Array, UnifiedCaches]:
+    """Shared expert/backbone half of one AR step: (B, 1, 9) tokens at
+    ``pos`` -> (last hidden state (B, D), updated caches). Used by both the
+    fully-compiled frame loop and the host-driven beam/ngram decoders (which
+    need raw logits between steps)."""
+    audio_input, text_embeds, a_mask, t_mask = _fuse_input(
+        params, cfg, tokens, tokens_mask
+    )
+    h_audio, und_cache = gpt.decode_step(
+        params["understanding_expert"], cfg.understanding_expert,
+        audio_input, caches.understanding, pos,
+    )
+    backbone_input = h_audio * a_mask + text_embeds * t_mask
+    h, bb_cache = gpt.decode_step(
+        params["backbone"], cfg.backbone, backbone_input, caches.backbone, pos
+    )
+    h_gen, gen_cache = gpt.decode_step(
+        params["generation_expert"], cfg.generation_expert, h * a_mask,
+        caches.generation, pos,
+    )
+    h_final = h_gen * a_mask + h * t_mask
+    return h_final[:, -1, :], UnifiedCaches(bb_cache, und_cache, gen_cache)
+
+
 def decode_frame(
     params: Params,
     cfg: UnifiedModelConfig,
@@ -295,23 +326,10 @@ def decode_frame(
     (reference `model_new.py:618-637`).
     """
     b = tokens.shape[0]
-    audio_input, text_embeds, a_mask, t_mask = _fuse_input(
-        params, cfg, tokens, tokens_mask
+    last_h, new_caches = decode_hidden(params, cfg, tokens, tokens_mask, caches, pos)
+    bb_cache, und_cache, gen_cache = (
+        new_caches.backbone, new_caches.understanding, new_caches.generation
     )
-    h_audio, und_cache = gpt.decode_step(
-        params["understanding_expert"], cfg.understanding_expert,
-        audio_input, caches.understanding, pos,
-    )
-    backbone_input = h_audio * a_mask + text_embeds * t_mask
-    h, bb_cache = gpt.decode_step(
-        params["backbone"], cfg.backbone, backbone_input, caches.backbone, pos
-    )
-    h_gen, gen_cache = gpt.decode_step(
-        params["generation_expert"], cfg.generation_expert, h * a_mask,
-        caches.generation, pos,
-    )
-    h_final = h_gen * a_mask + h * t_mask
-    last_h = h_final[:, -1, :]  # (B, D)
 
     text_logits = gpt.lm_head(params["backbone"], last_h)  # (B, V_text)
     key_text, key_audio = jax.random.split(key)
