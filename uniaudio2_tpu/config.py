@@ -214,6 +214,25 @@ class TokenSpace:
     text_epad_token: int = 128005
     text_eos: int = 128001
     empty_token: int = 0
+    # Special text-stream framing tokens (reference `asr_task.py:209-213`);
+    # stored as a tuple so the dataclass stays hashable, overridable so tiny
+    # test configs can keep ids inside their small vocab.
+    special_text: Tuple[Tuple[str, int], ...] = tuple(
+        sorted({
+            "<think>": 128002, "</think>": 128003, "</answer>": 128005,
+            "<transcription>": 128011, "</transcription>": 128012,
+            "<lyric>": 128013, "</lyric>": 128014,
+            "<caption>": 128015, "</caption>": 128016,
+            "<answer>": 128017, "<reason_token>": 128018,
+            "<semantic_token>": 128019,
+        }.items())
+    )
+
+    def special(self, name: str) -> int:
+        for k, v in self.special_text:
+            if k == name:
+                return v
+        raise KeyError(name)
 
     @property
     def num_codebooks(self) -> int:
@@ -287,6 +306,14 @@ class UnifiedModelConfig:
                 semantic_bos=64, semantic_eos=65, semantic_pad_token=66,
                 audio_prompt_bos=67, audio_prompt_eos=68,
                 text_pad_token=900, text_epad_token=901, text_eos=2,
+                special_text=tuple(sorted({
+                    "<think>": 902, "</think>": 903, "</answer>": 901,
+                    "<transcription>": 911, "</transcription>": 912,
+                    "<lyric>": 913, "</lyric>": 914,
+                    "<caption>": 915, "</caption>": 916,
+                    "<answer>": 917, "<reason_token>": 918,
+                    "<semantic_token>": 919,
+                }.items())),
             ),
         )
         return cls(

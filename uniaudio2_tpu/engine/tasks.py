@@ -28,7 +28,7 @@ from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
-from uniaudio2_tpu.config import SPECIAL_TEXT_TOKENS, TokenSpace
+from uniaudio2_tpu.config import TokenSpace
 
 # ---------------------------------------------------------------------------
 # Task-format DSL (semantics of llm_utils/task_definition.py:48-257)
@@ -173,7 +173,7 @@ def audio_prompt_bos_eos(x: np.ndarray, ts: TokenSpace) -> np.ndarray:
     return np.concatenate([bos, x[1:-1], eos], axis=0)
 
 
-def add_special_token(key: str, ids: np.ndarray) -> np.ndarray:
+def add_special_token(key: str, ids: np.ndarray, ts: TokenSpace) -> np.ndarray:
     """Wrap a text segment with its ``<key>`` / ``</key>`` special tokens;
     plain ``text_seq*`` segments pass through (audio_understanding.py:209-218)."""
     if key.startswith("text_seq"):
@@ -182,8 +182,8 @@ def add_special_token(key: str, ids: np.ndarray) -> np.ndarray:
     # strip trailing indices like transcription_seq_1 -> transcription
     while base and (base[-1].isdigit() or base.endswith("_")):
         base = base[:-1]
-    start = SPECIAL_TEXT_TOKENS["<" + base + ">"]
-    end = SPECIAL_TEXT_TOKENS["</" + base + ">"]
+    start = ts.special("<" + base + ">")
+    end = ts.special("</" + base + ">")
     ids = np.asarray(ids, np.int64).reshape(-1)
     return np.concatenate([[start], ids, [end]])
 
@@ -215,7 +215,7 @@ def build_condition_grid(
     for key, tp in zip(keys, types):
         data = np.asarray(d[key])
         if tp == "text":
-            data = add_special_token(key, data)
+            data = add_special_token(key, data, ts)
             rows = text_pad(data, ts)
             masks.append(_text_mask(rows.shape[0], ts))
         elif tp == "audio_prompt":
@@ -254,7 +254,7 @@ def build_cfg_negative_grid(
         if tp == "text":
             # pad-substitute *after* special-token framing length is added:
             # the reference wraps first, then substitutes (tts_task.py:181-182)
-            framed = add_special_token(key, data)
+            framed = add_special_token(key, data, ts)
             neg_d[key] = np.full_like(framed, ts.text_pad_token)
         else:
             neg_d[key] = data
