@@ -87,6 +87,12 @@ def _build_generate(
     ncb = ts.num_codebooks
     batch = 2 if use_cfg else 1
 
+    # Size the KV caches to this program's actual budget (prompt bucket +
+    # frame cap, 256-aligned) instead of the 2048 ceiling: decode attention
+    # reads the whole static cache every step, so this directly scales the
+    # per-frame HBM traffic with the real workload.
+    cache_len = min(cfg.max_seq_len, -(-(bucket + max_frames) // 256) * 256)
+
     def generate(
         params: Params,
         grid: jax.Array,        # (B, bucket, 9) int32, padded prompt
@@ -95,7 +101,8 @@ def _build_generate(
         key: jax.Array,
         cfg_scale: jax.Array,   # f32 scalar (ignored unless use_cfg)
     ):
-        caches = unified.init_caches(cfg, batch, dtype=cache_dtype)
+        caches = unified.init_caches(cfg, batch, dtype=cache_dtype,
+                                     seq_len=cache_len)
         # Prefill positions [0, bucket-1) with grid[:, :-1] (reference
         # forward_prefix consumes tokens[:, :-1], asr_task.py:658).
         caches = unified.prefill(
@@ -124,7 +131,7 @@ def _build_generate(
 
         def cond(s: _LoopState):
             in_range = jnp.logical_and(
-                s.step < max_frames, s.pos < cfg.max_seq_len - 1
+                s.step < max_frames, s.pos < cache_len - 1
             )
             return jnp.logical_and(in_range, jnp.logical_not(s.finished))
 

@@ -74,9 +74,15 @@ def init_params(
 
 
 def init_caches(
-    cfg: UnifiedModelConfig, batch: int, dtype=jnp.bfloat16
+    cfg: UnifiedModelConfig, batch: int, dtype=jnp.bfloat16,
+    seq_len: Optional[int] = None,
 ) -> UnifiedCaches:
-    s = cfg.max_seq_len
+    """``seq_len`` overrides the config cap so the decode engine can size the
+    cache to the actual bucket+frames budget — attention traffic then scales
+    with the real sequence instead of always paying the 2048 ceiling (the
+    static-shape analog of the reference's `input_pos_maxp1` slicing,
+    `lit_model.py:141-145`)."""
+    s = seq_len or cfg.max_seq_len
     return UnifiedCaches(
         backbone=init_cache(cfg.backbone, batch, s, dtype),
         understanding=init_cache(cfg.understanding_expert, batch, s, dtype),
