@@ -52,6 +52,10 @@ def main():
         frames = BENCH_FRAMES
 
     params = unified.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if os.environ.get("UA2_BENCH_QUANT") == "1":
+        from uniaudio2_tpu.ops.quant import quantize_unified_params
+
+        params = quantize_unified_params(params, donate=True)
     # max_frames bounds the compiled loop; EOS never fires on random weights
     # only by chance, so force a fixed-length run via the frame cap.
     engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,))

@@ -98,6 +98,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_frames", type=int, default=500,
                    help="decode-frame cap (reference max_audio_frames, "
                         "tts_task.py:222)")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="weight-only int8 serving quantization (halves "
+                        "decode HBM traffic; Pallas dequant-in-VMEM matmuls)")
     return p
 
 
@@ -158,6 +162,10 @@ def build_runner(args) -> TaskRunner:
     from uniaudio2_tpu.text.tokenizer import TextTokenizer
 
     cfg, params = load_llm(args)
+    if args.quantize == "int8":
+        from uniaudio2_tpu.ops.quant import quantize_unified_params
+
+        params = quantize_unified_params(params)
     tok = TextTokenizer(args.text_tokenizer_path)
     engine = DecodeEngine(
         params, cfg, max_frames=args.max_frames,

@@ -32,6 +32,7 @@ from uniaudio2_tpu.config import GPTConfig
 from uniaudio2_tpu.ops.attention import causal_attention, decode_attention
 from uniaudio2_tpu.ops.kv_cache import KVCache, update_layer
 from uniaudio2_tpu.ops.norms import rms_norm
+from uniaudio2_tpu.ops.quant import matmul
 from uniaudio2_tpu.ops.rope import apply_rope, rope_cache
 
 Params = Dict[str, Any]
@@ -91,10 +92,8 @@ def embed(params: Params, tokens: jax.Array) -> jax.Array:
 
 
 def lm_head(params: Params, h: jax.Array) -> jax.Array:
-    """(..., D) -> (..., padded_vocab)."""
-    return jnp.einsum(
-        "...d,dv->...v", h, params["lm_head_w"], preferred_element_type=jnp.float32
-    )
+    """(..., D) -> (..., padded_vocab); f32 logits (weight may be int8)."""
+    return matmul(h, params["lm_head_w"], out_dtype=jnp.float32)
 
 
 def _qkv(
@@ -104,7 +103,7 @@ def _qkv(
     Returns q (B,H,T,hd), k/v (B,G,T,hd)."""
     b, t, _ = x.shape
     h, g, hd = cfg.n_head, cfg.n_query_groups, cfg.head_size
-    qkv = jnp.einsum("btd,de->bte", x, layer["qkv_w"])
+    qkv = matmul(x, layer["qkv_w"])
     q, k, v = jnp.split(qkv, [h * hd, (h + g) * hd], axis=-1)
     q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, g, hd).transpose(0, 2, 1, 3)
@@ -116,9 +115,9 @@ def _qkv(
 
 def _mlp(layer: Params, x: jax.Array) -> jax.Array:
     """SwiGLU (reference `LLaMAMLP`, `lit_model.py:582-595`)."""
-    gate = jnp.einsum("btd,di->bti", x, layer["fc1_w"])
-    up = jnp.einsum("btd,di->bti", x, layer["fc2_w"])
-    return jnp.einsum("bti,id->btd", jax.nn.silu(gate) * up, layer["mlp_proj_w"])
+    gate = matmul(x, layer["fc1_w"])
+    up = matmul(x, layer["fc2_w"])
+    return matmul(jax.nn.silu(gate) * up, layer["mlp_proj_w"])
 
 
 def _rope_tables(cfg: GPTConfig, max_positions: int) -> Tuple[jax.Array, jax.Array]:
@@ -162,7 +161,7 @@ def forward(
         hn = rms_norm(xc, layer["norm1_w"], cfg.norm_eps)
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
         attn = causal_attention(q, k, v, scale=scale, extra_mask=extra_mask)
-        attn = jnp.einsum("bte,ed->btd", attn, layer["attn_proj_w"])
+        attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
         xc = xc + _mlp(layer, hn)
@@ -201,7 +200,7 @@ def prefill(
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
         k_l, v_l = update_layer(k_l, v_l, k, v, jnp.int32(0))
         attn = causal_attention(q, k, v, scale=scale)
-        attn = jnp.einsum("bte,ed->btd", attn, layer["attn_proj_w"])
+        attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
         xc = xc + _mlp(layer, hn)
@@ -237,7 +236,7 @@ def decode_step(
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
         k_l, v_l = update_layer(k_l, v_l, k, v, pos)
         attn = decode_attention(q, k_l, v_l, positions, scale=scale)
-        attn = jnp.einsum("bte,ed->btd", attn, layer["attn_proj_w"])
+        attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
         xc = xc + _mlp(layer, hn)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from uniaudio2_tpu.config import GPTConfig, UnifiedModelConfig
 from uniaudio2_tpu.models import gpt
 from uniaudio2_tpu.ops.kv_cache import KVCache, init_cache
+from uniaudio2_tpu.ops.quant import matmul
 from uniaudio2_tpu.ops.sampling import cfg_mix, sample_topk
 
 Params = Dict[str, Any]
@@ -200,7 +201,7 @@ def _local_decoder_teacher_forced(
     local_embeds = _embed_audio_streams(params, cfg, labels[:, :, : ncb - 1])
     curr = jnp.concatenate([h_final[:, :, None, :], local_embeds], axis=2)
     curr = curr.reshape(b * s, ncb, d_b)
-    proj = jnp.einsum("bnd,de->bne", curr, params["projection_w"])
+    proj = matmul(curr, params["projection_w"])
     dec_h = gpt.forward(params["decoder"], cfg.decoder, proj)
     logits = jnp.einsum(
         "bnd,ndv->bnv", dec_h, params["audio_head"],
@@ -383,12 +384,9 @@ def _local_decoder_generate(
     def step(carry, xs):
         curr_h, cache = carry
         head_i, offset_i, key_i, i = xs
-        proj = jnp.einsum("btd,de->bte", curr_h, params["projection_w"])
+        proj = matmul(curr_h, params["projection_w"])
         dec_h, cache = gpt.decode_step(params["decoder"], dcfg, proj, cache, i)
-        logits = jnp.einsum(
-            "bd,dv->bv", dec_h[:, -1, :], head_i,
-            preferred_element_type=jnp.float32,
-        )
+        logits = matmul(dec_h[:, -1, :], head_i, out_dtype=jnp.float32)
         if use_cfg:
             mixed = cfg_mix(logits[0], logits[1], cfg_scale)
             sample = sample_topk(

@@ -1,0 +1,180 @@
+"""Weight-only int8 quantization for the bandwidth-bound decode path.
+
+Batch-1 autoregressive decode reads every weight once per frame — it is HBM
+bandwidth-bound (SURVEY.md §6; the 3B backbone + 8 sequential local-decoder
+passes move ~12 GB/frame in bf16). Per-output-channel int8 storage halves
+that traffic. The dequantize-then-matmul must NOT materialise the bf16
+weight in HBM (XLA does exactly that for ``x @ (w.astype(bf16) * s)``), so
+the TPU path is a Pallas kernel that dequantises int8 tiles in VMEM and
+feeds the MXU directly; non-TPU backends fall back to the XLA form (tests).
+
+API:
+    QuantizedLinear(values int8 (..., K, N), scale f32 (..., N)) — a pytree;
+    quantize(w)                      -> QuantizedLinear (per-column scales)
+    matmul(x, w)                     -> works for plain arrays and quantized
+    quantize_gpt_params / quantize_unified_params -> tree transforms
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class QuantizedLinear(NamedTuple):
+    values: jax.Array   # int8, (..., K, N)
+    scale: jax.Array    # f32,  (..., N)
+
+
+def quantize(w: jax.Array) -> QuantizedLinear:
+    """Per-output-channel symmetric int8 (last axis = output features)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = (amax / 127.0 + 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedLinear(q, scale[..., 0, :])
+
+
+def dequantize(w: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    return (w.values.astype(jnp.float32) * w.scale[..., None, :]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas int8 GEMV/GEMM kernel
+# ---------------------------------------------------------------------------
+
+
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
+    x = x_ref[:].astype(jnp.float32)                  # (M, K)
+    w = w_ref[:].astype(jnp.float32)                  # (K, Nt) dequant in VMEM
+    s = s_ref[:].astype(jnp.float32)                  # (1, Nt)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s).astype(o_ref.dtype)
+
+
+def _pallas_int8_matmul(
+    x: jax.Array, values: jax.Array, scale: jax.Array, *, block_n: int = 512,
+    out_dtype=None,
+) -> jax.Array:
+    """x (M, K) bf16 @ int8 (K, N) * scale (N,) -> (M, K->N) bf16.
+    Grid over N tiles; x is broadcast to every tile (small at decode time)."""
+    m, k = x.shape
+    k2, n = values.shape
+    assert k == k2
+    bn = min(block_n, n)
+    while n % bn:
+        bn //= 2
+    grid = (n // bn,)
+    return pl.pallas_call(
+        _int8_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype or x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n, bytes_accessed=k * n + m * k * 2 + m * n * 2,
+            transcendentals=0,
+        ),
+    )(x, values, scale.reshape(1, n))
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu" or any(
+        d.platform == "tpu" for d in jax.devices()
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    try:
+        return _on_tpu()
+    except Exception:
+        return False
+
+
+def matmul(
+    x: jax.Array, w: Union[jax.Array, QuantizedLinear], out_dtype=None
+) -> jax.Array:
+    """``x @ w`` over the last two axes; ``w`` may be quantized.
+
+    x: (..., K); plain w: (K, N); quantized w: values (K, N) int8.
+    ``out_dtype`` forces the output dtype (e.g. f32 logits).
+    """
+    if not isinstance(w, QuantizedLinear):
+        out = jnp.einsum(
+            "...k,kn->...n", x, w,
+            preferred_element_type=out_dtype or jnp.float32,
+        )
+        return out if out_dtype else out.astype(x.dtype)
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    if _use_pallas() and k % 128 == 0 and w.values.shape[-1] % 128 == 0:
+        out = _pallas_int8_matmul(x2, w.values, w.scale, out_dtype=out_dtype)
+    else:
+        wd = dequantize(w, x.dtype)
+        out = jnp.einsum(
+            "mk,kn->mn", x2, wd, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    out = out.reshape(*lead, -1)
+    return out.astype(out_dtype) if out_dtype else out
+
+
+# ---------------------------------------------------------------------------
+# Param-tree quantization
+# ---------------------------------------------------------------------------
+
+_GPT_QUANT_LEAVES = (
+    "qkv_w", "attn_proj_w", "fc1_w", "fc2_w", "mlp_proj_w", "lm_head_w",
+)
+
+
+_quantize_jit = jax.jit(quantize, donate_argnums=(0,))
+
+
+def _q(w, donate: bool):
+    """Quantize one leaf; with ``donate`` the source HBM buffer is freed as
+    part of the same compiled step (big models don't fit twice)."""
+    if donate:
+        return _quantize_jit(w)
+    return quantize(w)
+
+
+def quantize_gpt_params(params, *, donate: bool = False):
+    """Quantize a GPT param tree's matmul weights (layer-stacked leaves get
+    per-layer scales); embeddings and norms stay bf16."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _GPT_QUANT_LEAVES:
+        if name in layers:
+            layers[name] = _q(layers[name], donate)
+    out["layers"] = layers
+    if "lm_head_w" in out:
+        out["lm_head_w"] = _q(out["lm_head_w"], donate)
+    return out
+
+
+def quantize_unified_params(params, *, donate: bool = False):
+    """Quantize the unified model's weight matrices for serving.
+
+    ``donate=True`` frees each source buffer as it is quantized — required
+    when the bf16 model plus its int8 copy don't fit in HBM together. The
+    input tree must not be reused afterwards.
+    """
+    out = dict(params)
+    for sub in ("backbone", "decoder", "understanding_expert",
+                "generation_expert"):
+        out[sub] = quantize_gpt_params(params[sub], donate=donate)
+    out["projection_w"] = _q(params["projection_w"], donate)
+    out["audio_head"] = _q(params["audio_head"], donate)
+    return out
