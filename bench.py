@@ -19,6 +19,9 @@ incremental step plus 8 *sequential* 4-layer local-decoder module calls and
 a host-synchronised sampling round trip (9+ eager dispatch chains/frame).
 The BASELINE.json target is >2x, i.e. vs_baseline > 2.0.
 
+Serving config: int8 weight-only quantization is ON by default
+(UA2_BENCH_QUANT=0 for pure bf16) — measured: bf16 419 tok/s, int8 525
+tok/s on one v5e-class chip (65.6 frames/s; LLM-side TTS RTF ~0.19).
 UA2_BENCH_SCALE=tiny runs a CPU-sized smoke variant.
 """
 
@@ -52,7 +55,7 @@ def main():
         frames = BENCH_FRAMES
 
     params = unified.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if os.environ.get("UA2_BENCH_QUANT") == "1":
+    if os.environ.get("UA2_BENCH_QUANT", "1") == "1":
         from uniaudio2_tpu.ops.quant import quantize_unified_params
 
         params = quantize_unified_params(params, donate=True)
