@@ -275,6 +275,50 @@ def run_understanding(args) -> str:
         decode_type="ngram" if args.decode_type == "ngram" else "greedy",
         max_repeat_ngram=4 if args.decode_type == "ngram" else 0,
     )
+    # fast path: batch simple text tasks over many utterances in one
+    # compiled multi-row program (8 at a time)
+    batchable = (
+        len(names) > 1
+        and args.decode_type == "greedy"
+        and task in ("asr", "yue_asr", "audio_caption", "music_caption",
+                     "lyric_recognition", "speech_s2t")
+    )
+    if batchable:
+        from uniaudio2_tpu.engine import tasks as tm
+
+        fmt_key = {"asr": "ASR", "yue_asr": "Yue_ASR"}.get(task, None)
+        with open(results_path, "w", encoding="utf-8") as f_out:
+            for i in range(0, len(names), 8):
+                chunk = names[i : i + 8]
+                items = []
+                for name in chunk:
+                    reason = load_tokens(
+                        os.path.join(token_dir, f"{name}_reason.pt")).T
+                    semantic = load_tokens(
+                        os.path.join(token_dir, f"{name}_semantic.pt")).T
+                    key = fmt_key or {
+                        "audio_caption": "audio_caption",
+                        "music_caption": "music_caption",
+                        "lyric_recognition": "lyric_recognition",
+                        "speech_s2t": "speech_s2t",
+                    }[task]
+                    grid, mask = tm.build_condition_grid(
+                        runner._prompt_ids(prompt),
+                        {"reason_seq": reason, "semantic_seq": semantic},
+                        *tm.condition_prefix(key), runner.ts,
+                    )
+                    items.append((grid, mask))
+                outs = runner.engine.generate_text_batch(
+                    items, temperature=args.temperature, topk=1,
+                    seed=args.seed,
+                )
+                for name, toks in zip(chunk, outs):
+                    text = runner.tok.decode(toks)
+                    f_out.write(f"{name}\t{text}\n")
+                    print(f"[{task}] {name} -> {text[:80]}")
+        print(f"Results written to {results_path}")
+        return results_path
+
     with open(results_path, "w", encoding="utf-8") as f_out:
         for name in names:
             reason = load_tokens(os.path.join(token_dir, f"{name}_reason.pt")).T

@@ -213,6 +213,163 @@ def _build_generate(
     return generate
 
 
+class _BatchState(NamedTuple):
+    step: jax.Array             # i32
+    finished: jax.Array         # (B,) bool
+    frame_tokens: jax.Array     # (B, 1, 9)
+    frame_mask: jax.Array       # (B, 1, 9)
+    is_reason: jax.Array        # (B,) bool
+    save_flag: jax.Array        # (B,) bool
+    forbid_prefix: jax.Array    # (B,) i32
+    key: jax.Array
+    caches: UnifiedCaches
+    audio_out: jax.Array        # (B, max_frames, 8)
+    phase_out: jax.Array        # (B, max_frames)
+    text_out: jax.Array         # (B, max_frames)
+
+
+def _build_generate_batched(
+    cfg: UnifiedModelConfig,
+    *,
+    mode: str,                 # "text" | "audio"
+    bucket: int,
+    n_rows: int,
+    max_frames: int,
+    temperature: float,
+    topk: int,
+    cache_dtype=jnp.bfloat16,
+):
+    """Batched multi-utterance generation: B independent rows decode in one
+    compiled loop with per-row EOS / two-phase state.
+
+    Ragged prompts are LEFT-padded to a shared bucket, so every row's last
+    real token sits at slot ``bucket-1`` and decoding is contiguous for all
+    rows; RoPE is relative, so the per-row shift preserves attention geometry
+    exactly. A per-row ``key_valid`` mask hides the left-padding cache slots
+    in both prefill and decode. This is the throughput path the reference
+    lacks entirely — its Generators are strictly batch 1 (`asr_task.py:186`).
+    """
+    ts = cfg.tokens
+    ncb = ts.num_codebooks
+    cache_len = min(
+        max(cfg.max_seq_len, bucket + max_frames + 1),
+        -(-(bucket + max_frames + 1) // 256) * 256,
+    )
+
+    def generate(
+        params: Params,
+        grid: jax.Array,        # (B, bucket, 9) LEFT-padded
+        grid_mask: jax.Array,   # (B, bucket, 9)
+        prompt_lens: jax.Array,  # (B,) i32
+        key: jax.Array,
+    ):
+        b = n_rows
+        caches = unified.init_caches(cfg, b, dtype=cache_dtype,
+                                     seq_len=cache_len)
+        slot = jnp.arange(cache_len, dtype=jnp.int32)
+        pad = (bucket - prompt_lens)[:, None]      # (B, 1) left-pad widths
+        key_valid = slot[None, :] >= pad           # pad slots invalid forever
+        caches = unified.prefill(
+            params, cfg, grid[:, :-1], grid_mask[:, :-1], caches,
+            key_valid=key_valid[:, : bucket - 1],
+        )
+        first_tokens = grid[:, -1:]   # every row's last real token
+        first_mask = grid_mask[:, -1:]
+
+        state = _BatchState(
+            step=jnp.int32(0),
+            finished=jnp.zeros((b,), bool),
+            frame_tokens=first_tokens,
+            frame_mask=first_mask,
+            is_reason=jnp.ones((b,), bool),
+            save_flag=jnp.ones((b,), bool),
+            forbid_prefix=jnp.zeros((b,), jnp.int32),
+            key=key,
+            caches=caches,
+            audio_out=jnp.zeros((b, max_frames, ncb), jnp.int32),
+            phase_out=jnp.zeros((b, max_frames), jnp.int32),
+            text_out=jnp.full((b, max_frames), -1, jnp.int32),
+        )
+
+        def cond(s: _BatchState):
+            in_range = jnp.logical_and(
+                s.step < max_frames, bucket + s.step < cache_len - 1
+            )
+            return jnp.logical_and(in_range, jnp.logical_not(jnp.all(s.finished)))
+
+        def body(s: _BatchState) -> _BatchState:
+            key, sub = jax.random.split(s.key)
+            pos = jnp.int32(bucket - 1) + s.step
+            frame, caches = unified.decode_frame(
+                params, cfg, s.frame_tokens, s.frame_mask, s.caches, pos,
+                sub, temperature=temperature, topk=topk,
+                forbid_prefix=s.forbid_prefix[:, None],
+                key_valid=key_valid,
+            )
+            text_tok = frame[:, 0]          # (B,)
+            audio_toks = frame[:, 1:]       # (B, 8)
+
+            if mode == "text":
+                eos_now = text_tok == ts.text_eos
+                finished = jnp.logical_or(s.finished, eos_now)
+                emit = jnp.where(
+                    jnp.logical_or(s.finished, eos_now), -1, text_tok
+                )
+                text_out = s.text_out.at[:, s.step].set(emit)
+                fb_tokens = jnp.concatenate(
+                    [jnp.zeros((b, ncb), jnp.int32), text_tok[:, None]], 1
+                )[:, None, :]
+                fb_mask = jnp.concatenate(
+                    [jnp.zeros((b, ncb), bool), jnp.ones((b, 1), bool)], 1
+                )[:, None, :]
+                return s._replace(
+                    step=s.step + 1, finished=finished,
+                    frame_tokens=fb_tokens, frame_mask=fb_mask, key=key,
+                    caches=caches, text_out=text_out,
+                )
+
+            sem_eos = jnp.all(
+                audio_toks == (ts.semantic_eos + ts.audio_reason_card), axis=1
+            )
+            reason_eos_frame = jnp.all(audio_toks == ts.reason_eos, axis=1)
+            switch = jnp.logical_and(s.is_reason, reason_eos_frame)
+            finished = jnp.logical_or(s.finished, sem_eos)
+            save_now = (
+                s.save_flag & ~switch & ~sem_eos & ~s.finished
+            )
+            new_is_reason = s.is_reason & ~switch
+            phase = jnp.where(
+                save_now,
+                jnp.where(new_is_reason, PHASE_REASON, PHASE_SEMANTIC),
+                PHASE_DROPPED,
+            )
+            audio_out = s.audio_out.at[:, s.step].set(audio_toks)
+            phase_out = s.phase_out.at[:, s.step].set(phase)
+            text_out = s.text_out.at[:, s.step].set(text_tok)
+            new_forbid = jnp.where(
+                switch, jnp.int32(ts.audio_reason_card), s.forbid_prefix
+            )
+            new_save_flag = ~switch
+            fb_tokens = jnp.concatenate(
+                [audio_toks, text_tok[:, None]], 1
+            )[:, None, :]
+            fb_mask = jnp.concatenate(
+                [jnp.ones((b, ncb), bool), jnp.zeros((b, 1), bool)], 1
+            )[:, None, :]
+            return s._replace(
+                step=s.step + 1, finished=finished,
+                frame_tokens=fb_tokens, frame_mask=fb_mask,
+                is_reason=new_is_reason, save_flag=new_save_flag,
+                forbid_prefix=new_forbid, key=key, caches=caches,
+                audio_out=audio_out, phase_out=phase_out, text_out=text_out,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.text_out, final.audio_out, final.phase_out, final.step
+
+    return generate
+
+
 class DecodeEngine:
     """Caches jit-compiled generation programs keyed by
     (mode, bucket, sampling config) and exposes host-friendly entry points.
@@ -307,6 +464,86 @@ class DecodeEngine:
         n = int(n)
         toks = text[:n]
         return toks[toks >= 0]
+
+    # ------------------------------------------------------------------
+    # Batched multi-utterance decoding
+    # ------------------------------------------------------------------
+
+    def _get_batched(self, mode, bucket, n_rows, temperature, topk):
+        key = ("batched", mode, bucket, n_rows, float(temperature), int(topk))
+        if key not in self._compiled:
+            fn = _build_generate_batched(
+                self.cfg, mode=mode, bucket=bucket, n_rows=n_rows,
+                max_frames=self.max_frames, temperature=temperature,
+                topk=topk, cache_dtype=self.cache_dtype,
+            )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    def _pack_left(self, items):
+        """[(grid (S_i, 9), mask)] -> left-padded (B, bucket, 9) arrays."""
+        par = self.cfg.tokens.parallel_number
+        lengths = [g.shape[0] for g, _ in items]
+        bucket = pick_bucket(max(lengths), self.buckets)
+        b = len(items)
+        grid = np.zeros((b, bucket, par), np.int32)
+        mask = np.zeros((b, bucket, par), bool)
+        for i, (g, m) in enumerate(items):
+            grid[i, bucket - g.shape[0]:] = g
+            mask[i, bucket - g.shape[0]:] = m
+        return (jnp.asarray(grid), jnp.asarray(mask),
+                jnp.asarray(lengths, jnp.int32), bucket)
+
+    def generate_text_batch(
+        self,
+        items,
+        *,
+        temperature: float = 0.9,
+        topk: int = 1,
+        seed: int = 888,
+    ):
+        """Decode B prompts concurrently (ASR over a directory etc.).
+
+        Args:
+            items: list of (grid (S_i, 9), mask) pairs from `engine/tasks.py`.
+        Returns:
+            list of 1-D generated-token arrays (EOS excluded), input order.
+        """
+        g, m, lens, bucket = self._pack_left(items)
+        fn = self._get_batched("text", bucket, len(items), temperature, topk)
+        text_out, _, _, n = fn(self.params, g, m, lens, jax.random.PRNGKey(seed))
+        text = np.asarray(text_out)
+        n = int(n)
+        out = []
+        for row in text[:, :n]:
+            out.append(row[row >= 0])
+        return out
+
+    def generate_audio_batch(
+        self,
+        items,
+        *,
+        temperature: float = 0.9,
+        topk: int = 200,
+        seed: int = 888,
+    ):
+        """Two-phase audio decode over B prompts concurrently.
+
+        Returns a list of (reason (8, T1_i), semantic (8, T2_i)) per item.
+        """
+        g, m, lens, bucket = self._pack_left(items)
+        fn = self._get_batched("audio", bucket, len(items), temperature, topk)
+        _, audio_out, phase_out, n = fn(
+            self.params, g, m, lens, jax.random.PRNGKey(seed)
+        )
+        audio = np.asarray(audio_out)
+        phases = np.asarray(phase_out)
+        n = int(n)
+        return [
+            split_two_phase(audio[i], phases[i], n,
+                            self.cfg.tokens.audio_reason_card)
+            for i in range(len(items))
+        ]
 
     # ------------------------------------------------------------------
     # Host-driven single-step decoding (ngram blocking / beam search).

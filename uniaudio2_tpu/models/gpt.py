@@ -181,6 +181,8 @@ def prefill(
     cfg: GPTConfig,
     x: jax.Array,
     cache: KVCache,
+    *,
+    extra_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Process a (padded) prompt block at positions [0, S), writing K/V into
     the cache. Attention is causal within the block, so padded tail positions
@@ -199,7 +201,7 @@ def prefill(
         hn = rms_norm(xc, layer["norm1_w"], cfg.norm_eps)
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
         k_l, v_l = update_layer(k_l, v_l, k, v, jnp.int32(0))
-        attn = causal_attention(q, k, v, scale=scale)
+        attn = causal_attention(q, k, v, scale=scale, extra_mask=extra_mask)
         attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
@@ -218,10 +220,13 @@ def decode_step(
     x: jax.Array,
     cache: KVCache,
     pos: jax.Array,
+    *,
+    key_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One incremental step: ``x`` (B, T, D) at absolute positions
     [pos, pos+T). Writes K/V then attends over the full static cache with a
-    position mask. Typically T == 1."""
+    position mask (plus an optional per-row ``key_valid`` cache mask for
+    batched decoding over ragged prompts). Typically T == 1."""
     b, t, d = x.shape
     cos_t, sin_t = _rope_tables(cfg, cache.max_seq)
     positions = pos + jnp.arange(t, dtype=jnp.int32)
@@ -235,7 +240,8 @@ def decode_step(
         hn = rms_norm(xc, layer["norm1_w"], cfg.norm_eps)
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
         k_l, v_l = update_layer(k_l, v_l, k, v, pos)
-        attn = decode_attention(q, k_l, v_l, positions, scale=scale)
+        attn = decode_attention(q, k_l, v_l, positions, scale=scale,
+                                key_valid=key_valid)
         attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)

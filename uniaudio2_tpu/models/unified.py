@@ -242,6 +242,7 @@ def prefill(
     tokens: jax.Array,
     tokens_mask: jax.Array,
     caches: UnifiedCaches,
+    key_valid: Optional[jax.Array] = None,
 ) -> UnifiedCaches:
     """Run the prompt (B, S, 9) through experts+backbone at positions [0, S),
     filling the caches (reference `forward_prefix`, `model_new.py:456-507`;
@@ -254,17 +255,22 @@ def prefill(
     audio_input, text_embeds, a_mask, t_mask = _fuse_input(
         params, cfg, tokens, tokens_mask
     )
+    extra = None
+    if key_valid is not None:
+        # (B, S) slot validity -> (B, 1->T, S) key mask for every query
+        extra = key_valid[:, None, :]
     h_audio, und_cache = gpt.prefill(
         params["understanding_expert"], cfg.understanding_expert,
-        audio_input, caches.understanding,
+        audio_input, caches.understanding, extra_mask=extra,
     )
     backbone_input = h_audio * a_mask + text_embeds * t_mask
     h, bb_cache = gpt.prefill(
-        params["backbone"], cfg.backbone, backbone_input, caches.backbone
+        params["backbone"], cfg.backbone, backbone_input, caches.backbone,
+        extra_mask=extra,
     )
     _, gen_cache = gpt.prefill(
         params["generation_expert"], cfg.generation_expert, h * a_mask,
-        caches.generation,
+        caches.generation, extra_mask=extra,
     )
     return UnifiedCaches(bb_cache, und_cache, gen_cache)
 
@@ -281,6 +287,7 @@ def decode_hidden(
     tokens_mask: jax.Array,
     caches: UnifiedCaches,
     pos: jax.Array,
+    key_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, UnifiedCaches]:
     """Shared expert/backbone half of one AR step: (B, 1, 9) tokens at
     ``pos`` -> (last hidden state (B, D), updated caches). Used by both the
@@ -291,15 +298,16 @@ def decode_hidden(
     )
     h_audio, und_cache = gpt.decode_step(
         params["understanding_expert"], cfg.understanding_expert,
-        audio_input, caches.understanding, pos,
+        audio_input, caches.understanding, pos, key_valid=key_valid,
     )
     backbone_input = h_audio * a_mask + text_embeds * t_mask
     h, bb_cache = gpt.decode_step(
-        params["backbone"], cfg.backbone, backbone_input, caches.backbone, pos
+        params["backbone"], cfg.backbone, backbone_input, caches.backbone, pos,
+        key_valid=key_valid,
     )
     h_gen, gen_cache = gpt.decode_step(
         params["generation_expert"], cfg.generation_expert, h * a_mask,
-        caches.generation, pos,
+        caches.generation, pos, key_valid=key_valid,
     )
     h_final = h_gen * a_mask + h * t_mask
     return h_final[:, -1, :], UnifiedCaches(bb_cache, und_cache, gen_cache)
@@ -319,6 +327,7 @@ def decode_frame(
     forbid_prefix: jax.Array,
     use_cfg: bool = False,
     cfg_scale: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, UnifiedCaches]:
     """One AR step: consume the previous frame's (B, 1, 9) tokens at position
     ``pos``, return the next frame's (B, 9) tokens [text, cb0..cb7] — note the
@@ -333,7 +342,8 @@ def decode_frame(
     (reference `model_new.py:618-637`).
     """
     b = tokens.shape[0]
-    last_h, new_caches = decode_hidden(params, cfg, tokens, tokens_mask, caches, pos)
+    last_h, new_caches = decode_hidden(params, cfg, tokens, tokens_mask, caches, pos,
+                                       key_valid=key_valid)
     bb_cache, und_cache, gen_cache = (
         new_caches.backbone, new_caches.understanding, new_caches.generation
     )

@@ -77,6 +77,7 @@ def decode_attention(
     q_positions: jax.Array,
     *,
     scale: Optional[float] = None,
+    key_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Incremental GQA against a static-length cache.
 
@@ -84,6 +85,10 @@ def decode_attention(
         q: (B, H, T, hd) — T new query steps (typically 1).
         k_cache, v_cache: (B, G, S_max, hd) — already contain the new K/V.
         q_positions: (T,) int32 absolute positions of the query steps.
+        key_valid: optional (B, S_max) bool — False marks cache slots that
+            must never be attended (per-row prompt padding in batched
+            decoding, where shorter rows carry garbage K/V between their true
+            length and the shared bucket length).
     Returns:
         (B, T, H*hd)
     """
@@ -97,6 +102,10 @@ def decode_attention(
     ) * scale
     key_idx = jnp.arange(s_max, dtype=jnp.int32)
     mask = key_idx[None, :] <= q_positions[:, None]  # (T, S_max)
+    if key_valid is not None:
+        mask = jnp.logical_and(
+            mask[None], key_valid[:, None, :]
+        )[:, None, None]  # (B, 1, 1, T, S)
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum("bgpts,bgsh->bgpth", probs, v_cache)
