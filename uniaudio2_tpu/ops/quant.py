@@ -51,8 +51,10 @@ def dequantize(w: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)                  # (M, K)
-    w = w_ref[:].astype(jnp.float32)                  # (K, Nt) dequant in VMEM
+    x = x_ref[:]                                      # (Mt, K) bf16
+    # dequantize the int8 tile in VMEM in bf16 (f32 copies blow scoped vmem
+    # for big K); the MXU accumulates in f32 via preferred_element_type
+    w = w_ref[:].astype(x.dtype)                      # (K, Nt)
     s = s_ref[:].astype(jnp.float32)                  # (1, Nt)
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
     o_ref[:] = (acc * s).astype(o_ref.dtype)
@@ -60,32 +62,42 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
 
 def _pallas_int8_matmul(
     x: jax.Array, values: jax.Array, scale: jax.Array, *, block_n: int = 512,
-    out_dtype=None,
+    block_m: int = 128, out_dtype=None,
 ) -> jax.Array:
-    """x (M, K) bf16 @ int8 (K, N) * scale (N,) -> (M, K->N) bf16.
-    Grid over N tiles; x is broadcast to every tile (small at decode time)."""
+    """x (M, K) bf16 @ int8 (K, N) * scale (N,) -> (M, N).
+    Grid over (M, N) tiles; the K axis stays whole (max 8192 here)."""
     m, k = x.shape
     k2, n = values.shape
     assert k == k2
     bn = min(block_n, n)
     while n % bn:
         bn //= 2
-    grid = (n // bn,)
-    return pl.pallas_call(
+    if m <= block_m:
+        bm, mg = m, 1
+    else:
+        bm = block_m
+        mg = -(-m // bm)
+        if m % bm:  # pad M up to a tile multiple
+            x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
+    grid = (mg, n // bn)
+    out = pl.pallas_call(
         _int8_matmul_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype or x.dtype),
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mg * bm, n), out_dtype or x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n, bytes_accessed=k * n + m * k * 2 + m * n * 2,
             transcendentals=0,
         ),
     )(x, values, scale.reshape(1, n))
+    return out[:m]
 
 
 def _on_tpu() -> bool:
