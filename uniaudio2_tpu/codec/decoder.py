@@ -186,8 +186,12 @@ def decode_chunk(
     )
     ctx_latent = incontext_latent * ctx_mask[..., None].astype(mu.dtype)
 
+    # run the DiT in its parameter dtype (bf16 in production), solver in f32
+    dit_dtype = params["dit"]["proj_in"]["conv_w"].dtype
+
     def estimator(x_cat, t):
-        return dit.forward(params["dit"], cfg.dit, x_cat, t)
+        v = dit.forward(params["dit"], cfg.dit, x_cat.astype(dit_dtype), t)
+        return v.astype(x_cat.dtype)
 
     return cfm.solve_euler(
         estimator, key=key, mu=mu, incontext_x=ctx_latent,

@@ -119,7 +119,7 @@ def _layer_norm(x: jax.Array, eps: float) -> jax.Array:
 def _conv1d_same(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """(B, T, C_in) conv (k, C_in, C_out) with SAME padding."""
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding="SAME",
+        x.astype(w.dtype), w, window_strides=(1,), padding="SAME",
         dimension_numbers=("NTC", "TIO", "NTC"),
         preferred_element_type=jnp.float32,
     )
