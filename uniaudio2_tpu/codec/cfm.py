@@ -45,8 +45,10 @@ def solve_euler(
     """Returns the solved latents (B, T, C_lat); in-context frames are
     clamped back to ``incontext_x`` at the end (reference `:623`)."""
     b, tl, _ = mu.shape
-    noise = jax.random.normal(key, (b, tl, latent_dim), mu.dtype) * temperature
-    ctx = incontext_mask[..., None].astype(mu.dtype)
+    # solver state in f32 regardless of (possibly bf16) condition/param dtype
+    mu = mu.astype(jnp.float32)
+    incontext_x = incontext_x.astype(jnp.float32)
+    noise = jax.random.normal(key, (b, tl, latent_dim), jnp.float32) * temperature
 
     ts = jnp.linspace(0.0, 1.0, num_steps + 1)
     t0, dt_all = ts[:-1], ts[1:] - ts[:-1]

@@ -246,7 +246,8 @@ def encode(params: Params, cfg: ScalarAEConfig, wav: jax.Array) -> jax.Array:
     embedding (tanh-bounded), matching reference `ScalarModel.encode`
     (`scalar24k.py:392-401` returns the un-rounded embedding; decode
     re-applies rounding)."""
-    x = _conv(wav, params["enc_in"], causal=cfg.causal)
+    x = _conv(wav.astype(params["enc_in"]["w"].dtype), params["enc_in"],
+              causal=cfg.causal)
     if params["pre"] is not None:
         x = _prelu(_conv(x, params["pre"]["conv"], causal=cfg.causal),
                    params["pre"]["a"])
@@ -268,6 +269,7 @@ def decode(params: Params, cfg: ScalarAEConfig, latent: jax.Array) -> jax.Array:
     """(B, T_lat, latent) -> (B, T_lat*stride, num_bands). Applies the scalar
     quantizer first (reference `ScalarModel.decode`, `scalar24k.py:403-407`)."""
     x = scalar_quantize(latent, cfg.rounds)
+    x = x.astype(params["dec_in"]["w"].dtype)  # match (possibly bf16) params
     x = _conv(x, params["dec_in"])  # look-ahead conv: never causal
     for blk, f in zip(params["dec_blocks"], cfg.upsample_factors):
         x = _prelu(
