@@ -162,3 +162,16 @@ def test_condition_features_shapes():
     reason = jnp.zeros((1, 10, 8), jnp.int32)
     mu = condition_features(params, cfg, rec, reason)
     assert mu.shape == (1, 50, cfg.codec_dim)
+
+
+def test_short_clip_uses_smaller_window_bucket():
+    """A one-chunk short clip must pick a fractional window (quarter/half)
+    instead of padding to the full window — and still decode correctly."""
+    cfg = CodecConfig.tiny()   # full window 2.0 s = 25 rec frames
+    params = init_decode_params(jax.random.PRNGKey(0), cfg)
+    dec = CodecDecoder(params, cfg)
+    rec = np.random.default_rng(0).integers(0, cfg.rec_codebook_size, (8, 10))
+    wav = dec.decode(rec, None, num_steps=2)
+    assert wav.shape == (1, int(10 / cfg.rec_hz * cfg.sample_rate))
+    # the compiled chunk fn was keyed on the half window (1.0 s), not 2.0 s
+    assert any(k[0] == 1.0 for k in dec._chunk_fn)

@@ -26,6 +26,7 @@ self-repetition — same here), so every chunk reuses one compiled program.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from dataclasses import dataclass
@@ -227,12 +228,13 @@ class CodecDecoder:
             lambda lat: scalar_ae.decode(params["scalar"], cfg.scalar, lat)
         )
 
-    def _get_chunk_fn(self, with_reason: bool, num_steps: int, guidance: float):
-        k = (with_reason, num_steps, float(guidance))
+    def _get_chunk_fn(self, cfg: CodecConfig, with_reason: bool,
+                      num_steps: int, guidance: float):
+        k = (cfg.window_seconds, with_reason, num_steps, float(guidance))
         if k not in self._chunk_fn:
             def fn(rec, reason, ctx, ctx_len, key):
                 return decode_chunk(
-                    self.params, self.cfg, rec,
+                    self.params, cfg, rec,
                     reason if with_reason else None, ctx, ctx_len, key,
                     num_steps=num_steps, guidance_scale=guidance,
                 )
@@ -259,6 +261,21 @@ class CodecDecoder:
         t_rec_orig = rec_codes.shape[-1]
         target_samples = int(t_rec_orig / cfg.rec_hz * cfg.sample_rate)
 
+        # short clips: pick the smallest window bucket that fits in ONE chunk
+        # (full / half / quarter window) — a 4 s TTS utterance then costs a
+        # 7.5 s DiT solve instead of a 30 s one. Multi-chunk audio keeps the
+        # full window so the carry-over geometry matches the reference.
+        win_s = cfg.window_seconds
+        for frac in (4, 2):
+            cand = cfg.window_seconds / frac
+            if (t_rec_orig <= int(cand * cfg.rec_hz)
+                    and int(cand * cfg.rec_hz) >= 4
+                    and int(cand * cfg.reason_hz) >= 4):
+                win_s = cand
+                break
+        if win_s != cfg.window_seconds:
+            cfg = dataclasses.replace(cfg, window_seconds=win_s)
+
         rec = np.asarray(rec_codes, np.int32).T[None]          # (1, T, 8)
         win = cfg.window_rec_frames
         hop = win // 4 * 3
@@ -284,8 +301,10 @@ class CodecDecoder:
                 total_q = math.ceil((reason.shape[1] - ovlp_q) / hop_q) * hop_q + ovlp_q
                 reason = _pad_repeat(reason, total_q)
 
-        lat_frames = cfg.window_latent_frames
-        chunk_fn = self._get_chunk_fn(reason is not None, num_steps, guidance_scale)
+        # latents are exactly 2x the rec frames (25 Hz vs 12.5 Hz); derive
+        # from the (possibly fractional-window) rec frame count
+        lat_frames = 2 * win
+        chunk_fn = self._get_chunk_fn(cfg, reason is not None, num_steps, guidance_scale)
         key = jax.random.PRNGKey(seed)
 
         latents = []
