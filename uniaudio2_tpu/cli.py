@@ -177,7 +177,6 @@ def build_runner(args) -> TaskRunner:
 def load_codec_tokenizer(args, need_decode: bool):
     """Codec config + checkpoint -> ReasoningCodecTokenizer (encode and/or
     decode params)."""
-    from uniaudio2_tpu.codec.decoder import CodecConfig
     from uniaudio2_tpu.convert import codec as codec_cvt
 
     return codec_cvt.load_tokenizer(

@@ -27,10 +27,9 @@ self-repetition — same here), so every chunk reuses one compiled program.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -224,21 +223,27 @@ class CodecDecoder:
         self.params = params
         self.cfg = cfg
         self._chunk_fn = {}
-        self._sq_decode = jax.jit(
-            lambda lat: scalar_ae.decode(params["scalar"], cfg.scalar, lat)
+        # params are jit ARGUMENTS, never closure captures — captured params
+        # become giant HLO constants (gigabytes of serialized program)
+        self._sq_decode_fn = jax.jit(
+            lambda p, lat: scalar_ae.decode(p, cfg.scalar, lat)
         )
+
+    def _sq_decode(self, lat):
+        return self._sq_decode_fn(self.params["scalar"], lat)
 
     def _get_chunk_fn(self, cfg: CodecConfig, with_reason: bool,
                       num_steps: int, guidance: float):
         k = (cfg.window_seconds, with_reason, num_steps, float(guidance))
         if k not in self._chunk_fn:
-            def fn(rec, reason, ctx, ctx_len, key):
+            def fn(p, rec, reason, ctx, ctx_len, key):
                 return decode_chunk(
-                    self.params, cfg, rec,
+                    p, cfg, rec,
                     reason if with_reason else None, ctx, ctx_len, key,
                     num_steps=num_steps, guidance_scale=guidance,
                 )
-            self._chunk_fn[k] = jax.jit(fn)
+            jfn = jax.jit(fn)
+            self._chunk_fn[k] = lambda *a: jfn(self.params, *a)
         return self._chunk_fn[k]
 
     def decode(

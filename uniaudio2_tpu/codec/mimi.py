@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -189,10 +189,9 @@ def init_params(key: jax.Array, cfg: MimiConfig, dtype=jnp.float32) -> Params:
                     "c1": _conv_init(next(ks), cfg.residual_kernel_size, c,
                                      c // comp, dtype),
                     "c2": _conv_init(next(ks), 1, c // comp, c, dtype),
-                    "dilation": cfg.dilation_base ** j,
                 })
             down = _conv_init(next(ks), r * 2, mult * nf, mult * nf * 2, dtype)
-            blocks.append({"res": res, "down": down, "ratio": r})
+            blocks.append({"res": res, "down": down})
             mult *= 2
         head = _conv_init(next(ks), cfg.last_kernel_size, mult * nf,
                           cfg.latent_dim, dtype)
@@ -212,9 +211,8 @@ def init_params(key: jax.Array, cfg: MimiConfig, dtype=jnp.float32) -> Params:
                     "c1": _conv_init(next(ks), cfg.residual_kernel_size, c,
                                      c // comp, dtype),
                     "c2": _conv_init(next(ks), 1, c // comp, c, dtype),
-                    "dilation": cfg.dilation_base ** j,
                 })
-            blocks.append({"up": up, "res": res, "ratio": r})
+            blocks.append({"up": up, "res": res})
             mult //= 2
         head = _conv_init(next(ks), cfg.last_kernel_size, nf, cfg.channels, dtype)
         return {"stem": stem, "blocks": blocks, "head": head}
@@ -270,34 +268,35 @@ def _elu(x):
     return jax.nn.elu(x)
 
 
-def _resnet(x, blk):
+def _resnet(x, blk, dilation: int):
     h = _elu(x)
-    h = causal_conv(h, blk["c1"]["w"], blk["c1"]["b"], dilation=blk["dilation"])
+    h = causal_conv(h, blk["c1"]["w"], blk["c1"]["b"], dilation=dilation)
     h = _elu(h)
     h = causal_conv(h, blk["c2"]["w"], blk["c2"]["b"])
     return x + h
 
 
-def seanet_encode(p: Params, x: jax.Array) -> jax.Array:
+def seanet_encode(p: Params, cfg: MimiConfig, x: jax.Array) -> jax.Array:
     """(B, T, 1) -> (B, T/hop, latent)."""
     h = causal_conv(x, p["stem"]["w"], p["stem"]["b"])
-    for blk in p["blocks"]:
-        for res in blk["res"]:
-            h = _resnet(h, res)
+    enc_ratios = tuple(reversed(cfg.ratios))
+    for blk, ratio in zip(p["blocks"], enc_ratios):
+        for j, res in enumerate(blk["res"]):
+            h = _resnet(h, res, cfg.dilation_base ** j)
         h = _elu(h)
-        h = causal_conv(h, blk["down"]["w"], blk["down"]["b"], stride=blk["ratio"])
+        h = causal_conv(h, blk["down"]["w"], blk["down"]["b"], stride=ratio)
     h = _elu(h)
     return causal_conv(h, p["head"]["w"], p["head"]["b"])
 
 
-def seanet_decode(p: Params, z: jax.Array) -> jax.Array:
+def seanet_decode(p: Params, cfg: MimiConfig, z: jax.Array) -> jax.Array:
     h = causal_conv(z, p["stem"]["w"], p["stem"]["b"])
-    for blk in p["blocks"]:
+    for blk, ratio in zip(p["blocks"], cfg.ratios):
         h = _elu(h)
         h = causal_conv_transpose(h, blk["up"]["w"], blk["up"]["b"],
-                                  stride=blk["ratio"])
-        for res in blk["res"]:
-            h = _resnet(h, res)
+                                  stride=ratio)
+        for j, res in enumerate(blk["res"]):
+            h = _resnet(h, res, cfg.dilation_base ** j)
     h = _elu(h)
     return causal_conv(h, p["head"]["w"], p["head"]["b"])
 
@@ -396,7 +395,7 @@ def _rvq_decode(p: Params, codes: jax.Array) -> jax.Array:
 def encode(params: Params, cfg: MimiConfig, wav: jax.Array) -> jax.Array:
     """(B, T) waveform -> (B, 8, T_frames) codes @ target_frame_rate
     (semantic codebook first, reference `SplitResidualVectorQuantizer.encode`)."""
-    z = seanet_encode(params["encoder"], wav[:, :, None])
+    z = seanet_encode(params["encoder"], cfg, wav[:, :, None])
     z = transformer_forward(params["enc_transformer"], cfg, z)
     z = causal_conv(z, params["downsample"]["w"], None,
                     stride=cfg.resample_stride, pad_mode="replicate")
@@ -416,7 +415,7 @@ def decode(params: Params, cfg: MimiConfig, codes: jax.Array) -> jax.Array:
         groups=cfg.latent_dim,
     )
     z = transformer_forward(params["dec_transformer"], cfg, z)
-    wav = seanet_decode(params["decoder"], z)
+    wav = seanet_decode(params["decoder"], cfg, z)
     return wav[:, :, 0]
 
 
@@ -426,8 +425,15 @@ class MimiTokenizer:
     def __init__(self, params: Params, cfg: MimiConfig):
         self.params = params
         self.cfg = cfg
-        self._enc = jax.jit(lambda w: encode(params, cfg, w))
-        self._dec = jax.jit(lambda c: decode(params, cfg, c))
+        # params as jit arguments, not closure constants
+        self._enc_fn = jax.jit(lambda p, w: encode(p, cfg, w))
+        self._dec_fn = jax.jit(lambda p, c: decode(p, cfg, c))
+
+    def _enc(self, w):
+        return self._enc_fn(self.params, w)
+
+    def _dec(self, c):
+        return self._dec_fn(self.params, c)
 
     @property
     def is_discrete(self) -> bool:

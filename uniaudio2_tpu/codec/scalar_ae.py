@@ -25,8 +25,8 @@ per-activation PReLU slopes and per-stage Snake alphas where used.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

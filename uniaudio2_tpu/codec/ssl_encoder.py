@@ -151,34 +151,35 @@ def forward(
     b, t, d = h.shape
     heads = cfg.num_heads
     hd = d // heads
-    lp = params["layers"]
-    outs: List[jax.Array] = []
-    for i in range(cfg.num_layers):
+
+    def layer_fn(h, lp):
         if cfg.layer_norm_first:
-            hn = _ln(h, lp["ln1_w"][i], lp["ln1_b"][i], cfg.layer_norm_eps)
+            hn = _ln(h, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
         else:
             hn = h
-        q = (hn @ lp["q_w"][i] + lp["q_b"][i]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-        k = (hn @ lp["k_w"][i] + lp["k_b"][i]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-        v = (hn @ lp["v_w"][i] + lp["v_b"][i]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+        q = (hn @ lp["q_w"] + lp["q_b"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+        k = (hn @ lp["k_w"] + lp["k_b"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+        v = (hn @ lp["v_w"] + lp["v_b"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (hd ** -0.5)
         probs = jax.nn.softmax(scores, -1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
-        h = h + (o @ lp["out_w"][i] + lp["out_b"][i])
+        h = h + (o @ lp["out_w"] + lp["out_b"])
         if not cfg.layer_norm_first:
-            h = _ln(h, lp["ln1_w"][i], lp["ln1_b"][i], cfg.layer_norm_eps)
-            ff = jax.nn.gelu(h @ lp["ff1_w"][i] + lp["ff1_b"][i], approximate=False)
-            h = h + (ff @ lp["ff2_w"][i] + lp["ff2_b"][i])
-            h = _ln(h, lp["ln2_w"][i], lp["ln2_b"][i], cfg.layer_norm_eps)
+            h = _ln(h, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
+            ff = jax.nn.gelu(h @ lp["ff1_w"] + lp["ff1_b"], approximate=False)
+            h = h + (ff @ lp["ff2_w"] + lp["ff2_b"])
+            h = _ln(h, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
         else:
-            hn = _ln(h, lp["ln2_w"][i], lp["ln2_b"][i], cfg.layer_norm_eps)
-            ff = jax.nn.gelu(hn @ lp["ff1_w"][i] + lp["ff1_b"][i], approximate=False)
-            h = h + (ff @ lp["ff2_w"][i] + lp["ff2_b"][i])
-        outs.append(h)
-    final = h
+            hn = _ln(h, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
+            ff = jax.nn.gelu(hn @ lp["ff1_w"] + lp["ff1_b"], approximate=False)
+            h = h + (ff @ lp["ff2_w"] + lp["ff2_b"])
+        return h, h
+
+    final, stacked = jax.lax.scan(layer_fn, h, params["layers"])
+    outs = [stacked[i] for i in range(cfg.num_layers)]
     if cfg.layer_norm_first:
         final = _ln(final, params["enc_ln_w"], params["enc_ln_b"], cfg.layer_norm_eps)
     return final, outs

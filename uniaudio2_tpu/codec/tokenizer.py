@@ -16,8 +16,7 @@ Audio IO uses scipy (wav files); resampling is the on-device sinc resampler.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -86,12 +85,12 @@ class ReasoningCodecTokenizer:
 
     def _window_encode(self, windows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         if self._encode_fn is None:
+            # params as jit arguments (closure capture would inline them as
+            # huge HLO constants)
             self._encode_fn = jax.jit(
-                lambda wav: enc.encode_window(
-                    self.enc_params, self.enc_cfg, self.cfg, wav
-                )
+                lambda p, wav: enc.encode_window(p, self.enc_cfg, self.cfg, wav)
             )
-        reason, rec = self._encode_fn(jnp.asarray(windows))
+        reason, rec = self._encode_fn(self.enc_params, jnp.asarray(windows))
         return np.asarray(reason), np.asarray(rec)
 
     def tokenize(

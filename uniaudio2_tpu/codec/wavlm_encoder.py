@@ -187,33 +187,33 @@ def forward(
     pos_bias = jnp.take(params["rel_attn_embed"], buckets, axis=0)  # (T,T,H)
     pos_bias = pos_bias.transpose(2, 0, 1)[None]                    # (1,H,T,T)
 
-    hidden_states = [h]
-    lp = params["layers"]
-    for i in range(cfg.num_layers):
+    def layer_fn(h, lp):
         hh = h.reshape(b, t, heads, hd).transpose(0, 2, 1, 3)  # (B,H,T,hd)
-        proj = hh @ lp["gru_w"][i] + lp["gru_b"][i]            # (B,H,T,8)
+        proj = hh @ lp["gru_w"] + lp["gru_b"]                  # (B,H,T,8)
         proj = proj.reshape(b, heads, t, 2, 4).sum(-1)
         gates = jax.nn.sigmoid(proj)                           # (B,H,T,2)
         gate_a, gate_b = gates[..., 0], gates[..., 1]
-        gate_out = gate_a * (gate_b * lp["gru_const"][i][None, :, None] - 1.0) + 2.0
+        gate_out = gate_a * (gate_b * lp["gru_const"][None, :, None] - 1.0) + 2.0
         gated_bias = gate_out[..., None] * pos_bias            # (B,H,T,T)
 
-        q = (h @ lp["q_w"][i] + lp["q_b"][i]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-        k = (h @ lp["k_w"][i] + lp["k_b"][i]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-        v = (h @ lp["v_w"][i] + lp["v_b"][i]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+        q = (h @ lp["q_w"] + lp["q_b"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+        k = (h @ lp["k_w"] + lp["k_b"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+        v = (h @ lp["v_w"] + lp["v_b"]).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (hd ** -0.5) + gated_bias.astype(jnp.float32)
         probs = jax.nn.softmax(scores, -1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
-        h = h + (o @ lp["out_w"][i] + lp["out_b"][i])
-        h = _ln(h, lp["ln1_w"][i], lp["ln1_b"][i], cfg.layer_norm_eps)
-        ff = jax.nn.gelu(h @ lp["ff1_w"][i] + lp["ff1_b"][i], approximate=False)
-        h = h + (ff @ lp["ff2_w"][i] + lp["ff2_b"][i])
-        h = _ln(h, lp["ln2_w"][i], lp["ln2_b"][i], cfg.layer_norm_eps)
-        hidden_states.append(h)
-    return hidden_states
+        h = h + (o @ lp["out_w"] + lp["out_b"])
+        h = _ln(h, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
+        ff = jax.nn.gelu(h @ lp["ff1_w"] + lp["ff1_b"], approximate=False)
+        h = h + (ff @ lp["ff2_w"] + lp["ff2_b"])
+        h = _ln(h, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
+        return h, h
+
+    _, stacked = jax.lax.scan(layer_fn, h, params["layers"])
+    return [h] + [stacked[i] for i in range(cfg.num_layers)]
 
 
 def phone_features(params: Params, cfg: WavLMConfig, wav: jax.Array) -> jax.Array:

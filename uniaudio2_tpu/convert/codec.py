@@ -24,7 +24,6 @@ Conversion is shape-tolerant like the reference's `strict=False` load
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import numpy as np

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import random
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Mapping, Optional, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Parity with the reference's text sanity harnesses
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

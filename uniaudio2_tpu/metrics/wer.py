@@ -12,10 +12,9 @@ built-in basic normalizer as fallback.
 from __future__ import annotations
 
 import re
-import string
 import unicodedata
 from dataclasses import dataclass
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int, int]:

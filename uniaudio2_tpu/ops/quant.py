@@ -18,7 +18,7 @@ API:
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Union
+from typing import NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
