@@ -122,6 +122,7 @@ def init_encode_params(key: jax.Array, cfg: EncoderConfig, dtype=jnp.float32) ->
 
 def _dconv(x: jax.Array, p: Params, stride: int) -> jax.Array:
     """VALID strided downsample conv, NTC."""
+    x = x.astype(p["w"].dtype)
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride,), padding="VALID",
         dimension_numbers=("NTC", "TIO", "NTC"),

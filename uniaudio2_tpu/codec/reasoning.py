@@ -177,7 +177,8 @@ def encode(
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (reason_codes (B, T5, Q), quantized (B, T5, dim))."""
     w = jax.lax.conv_general_dilated(
-        whisper_feats, params["whisper_down"]["w"], window_strides=(2,),
+        whisper_feats.astype(params["whisper_down"]["w"].dtype),
+        params["whisper_down"]["w"], window_strides=(2,),
         padding="VALID", dimension_numbers=("NTC", "TIO", "NTC"),
         preferred_element_type=jnp.float32,
     ).astype(whisper_feats.dtype) + params["whisper_down"]["b"]

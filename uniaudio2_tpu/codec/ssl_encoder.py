@@ -108,7 +108,7 @@ def feature_extractor(params: Params, cfg: SSLEncoderConfig, wav: jax.Array) -> 
         mu = xf.mean(axis=-1, keepdims=True)
         var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
         wav = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(wav.dtype)
-    x = wav[:, :, None]
+    x = wav[:, :, None].astype(params["convs"][0]["w"].dtype)
     for i, (conv, st) in enumerate(zip(params["convs"], cfg.conv_stride)):
         x = jax.lax.conv_general_dilated(
             x, conv["w"], window_strides=(st,), padding="VALID",
@@ -137,7 +137,8 @@ def forward(
 
     pad = cfg.pos_conv_kernel // 2
     pos = jax.lax.conv_general_dilated(
-        h, params["pos_conv_w"], window_strides=(1,),
+        h.astype(params["pos_conv_w"].dtype), params["pos_conv_w"],
+        window_strides=(1,),
         padding=[(pad, pad)], feature_group_count=cfg.pos_conv_groups,
         dimension_numbers=("NTC", "TIO", "NTC"),
         preferred_element_type=jnp.float32,

@@ -136,7 +136,7 @@ def _relative_position_buckets(t: int, num_buckets: int, max_distance: int) -> n
 
 def feature_extractor(params: Params, cfg: WavLMConfig, wav: jax.Array) -> jax.Array:
     """(B, T) 16 kHz -> (B, T/320, conv_dim[-1]) @ 50 Hz."""
-    x = wav[:, :, None]  # NTC
+    x = wav[:, :, None].astype(params["convs"][0]["w"].dtype)  # NTC
     for i, (conv, k, st) in enumerate(
         zip(params["convs"], cfg.conv_kernel, cfg.conv_stride)
     ):
@@ -168,7 +168,8 @@ def forward(
     # grouped conv positional embedding, SAME-ish padding with 1-sample trim
     pad = cfg.pos_conv_kernel // 2
     pos = jax.lax.conv_general_dilated(
-        h, params["pos_conv_w"], window_strides=(1,),
+        h.astype(params["pos_conv_w"].dtype), params["pos_conv_w"],
+        window_strides=(1,),
         padding=[(pad, pad)], feature_group_count=cfg.pos_conv_groups,
         dimension_numbers=("NTC", "TIO", "NTC"),
         preferred_element_type=jnp.float32,

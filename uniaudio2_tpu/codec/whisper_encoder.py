@@ -84,6 +84,7 @@ def _ln(x, w, b, eps=1e-5):
 
 
 def _conv(x, p, stride):
+    x = x.astype(p["w"].dtype)
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride,), padding=[(1, 1)],
         dimension_numbers=("NTC", "TIO", "NTC"),

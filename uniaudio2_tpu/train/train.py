@@ -60,6 +60,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true", default=False)
     p.add_argument("--debug_steps", type=int, default=0,
                    help="stop each epoch after N steps (CI smoke)")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="multi-host pod: call jax.distributed.initialize() "
+                        "(coordinator/process env-configured) before device "
+                        "discovery; data jsons shard by process index")
     return p
 
 
@@ -68,6 +72,12 @@ def main(argv: Optional[list] = None) -> None:
     logging.basicConfig(level=logging.INFO)
 
     import jax
+
+    if args.distributed:
+        # multi-host: every process sees its local devices; the mesh below
+        # spans the whole pod (reference's torch.distributed analog,
+        # SURVEY.md §2.9 — collectives are compiler-emitted over ICI/DCN)
+        jax.distributed.initialize()
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
