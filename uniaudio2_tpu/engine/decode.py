@@ -142,6 +142,7 @@ def _build_generate(
                 sub, temperature=temperature, topk=topk,
                 forbid_prefix=s.forbid_prefix,
                 use_cfg=use_cfg, cfg_scale=cfg_scale,
+                sample_text=mode == "text", sample_audio=mode == "audio",
             )
             text_tok = frame[0, 0]          # row 0 = conditioned
             audio_toks = frame[0, 1:]       # (8,)
@@ -305,6 +306,7 @@ def _build_generate_batched(
                 sub, temperature=temperature, topk=topk,
                 forbid_prefix=s.forbid_prefix[:, None],
                 key_valid=key_valid,
+                sample_text=mode == "text", sample_audio=mode == "audio",
             )
             text_tok = frame[:, 0]          # (B,)
             audio_toks = frame[:, 1:]       # (B, 8)

@@ -328,6 +328,8 @@ def decode_frame(
     use_cfg: bool = False,
     cfg_scale: Optional[jax.Array] = None,
     key_valid: Optional[jax.Array] = None,
+    sample_text: bool = True,
+    sample_audio: bool = True,
 ) -> Tuple[jax.Array, UnifiedCaches]:
     """One AR step: consume the previous frame's (B, 1, 9) tokens at position
     ``pos``, return the next frame's (B, 9) tokens [text, cb0..cb7] — note the
@@ -340,6 +342,14 @@ def decode_frame(
     With ``use_cfg`` the batch is [conditioned, unconditioned]; logits are
     mixed with `cfg_mix` and the sampled token is broadcast to both rows
     (reference `model_new.py:618-637`).
+
+    ``sample_text`` / ``sample_audio`` gate the two output heads: the
+    reference always runs BOTH per frame and throws one away — text tasks
+    never read the 8 local-decoder tokens (`asr_task.py:673-680`) and
+    two-phase audio tasks never read the text token (`tts_task.py:275-277`).
+    Skipping the unused head removes its entire weight traffic from the
+    bandwidth-bound frame (~45 % for text decoding, ~6 % for audio); the
+    skipped streams return zeros.
     """
     b = tokens.shape[0]
     last_h, new_caches = decode_hidden(params, cfg, tokens, tokens_mask, caches, pos,
@@ -348,20 +358,26 @@ def decode_frame(
         new_caches.backbone, new_caches.understanding, new_caches.generation
     )
 
-    text_logits = gpt.lm_head(params["backbone"], last_h)  # (B, V_text)
     key_text, key_audio = jax.random.split(key)
-    if use_cfg:
-        mixed = cfg_mix(text_logits[0], text_logits[1], cfg_scale)
-        text_sample = sample_topk(key_text, mixed[None], topk, temperature)
-        text_sample = jnp.broadcast_to(text_sample, (b,))
+    if sample_text:
+        text_logits = gpt.lm_head(params["backbone"], last_h)  # (B, V_text)
+        if use_cfg:
+            mixed = cfg_mix(text_logits[0], text_logits[1], cfg_scale)
+            text_sample = sample_topk(key_text, mixed[None], topk, temperature)
+            text_sample = jnp.broadcast_to(text_sample, (b,))
+        else:
+            text_sample = sample_topk(key_text, text_logits, topk, temperature)
     else:
-        text_sample = sample_topk(key_text, text_logits, topk, temperature)
+        text_sample = jnp.zeros((b,), jnp.int32)
 
-    audio_samples = _local_decoder_generate(
-        params, cfg, last_h, key_audio,
-        temperature=temperature, topk=topk, forbid_prefix=forbid_prefix,
-        use_cfg=use_cfg, cfg_scale=cfg_scale,
-    )
+    if sample_audio:
+        audio_samples = _local_decoder_generate(
+            params, cfg, last_h, key_audio,
+            temperature=temperature, topk=topk, forbid_prefix=forbid_prefix,
+            use_cfg=use_cfg, cfg_scale=cfg_scale,
+        )
+    else:
+        audio_samples = jnp.zeros((b, cfg.tokens.num_codebooks), jnp.int32)
     frame = jnp.concatenate([text_sample[:, None], audio_samples], axis=1)
     return frame, UnifiedCaches(bb_cache, und_cache, gen_cache)
 
