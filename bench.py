@@ -21,8 +21,8 @@ The BASELINE.json target is >2x, i.e. vs_baseline > 2.0.
 
 Serving config: int8 weight-only quantization is ON by default
 (UA2_BENCH_QUANT=0 for pure bf16) — measured on one v5e-class chip:
-bf16 419 tok/s, int8 525 tok/s at batch 1 (65.6 frames/s; LLM-side TTS RTF
-~0.19); the batched serving path (`generate_audio_batch`) reaches
+bf16 419 tok/s, int8 555 tok/s at batch 1 (69 frames/s; text tasks hit 103
+frames/s with the unused audio head skipped); the batched serving path (`generate_audio_batch`) reaches
 3678 tok/s at batch 8. The headline metric stays batch-1 to match the
 reference's per-utterance decode loop. UA2_BENCH_SCALE=tiny runs a
 CPU-sized smoke variant.
