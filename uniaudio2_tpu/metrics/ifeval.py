@@ -1,0 +1,260 @@
+"""Instruction-following evaluation (IFEval-style).
+
+Capability parity with the reference's vendored Google IFEval
+(`/root/reference/metrics/wer_tools/ifeval.py`,
+`metrics/instruction_following_eval/instructions.py` — SURVEY.md §2.8):
+verifiable-instruction checkers over model responses with strict / loose
+accuracy. This is a compact reimplementation of the common instruction
+families (keywords, length constraints, format, case, start/end phrases,
+punctuation) rather than a copy of the 1.5k-line original; each checker is a
+pure function ``(response, **kwargs) -> bool`` in a registry keyed by the
+IFEval instruction ids.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+
+def _words(text: str) -> List[str]:
+    return re.findall(r"\w+(?:'\w+)?", text.lower())
+
+
+def _sentences(text: str) -> List[str]:
+    parts = re.split(r"(?<=[.!?])\s+", text.strip())
+    return [p for p in parts if p]
+
+
+def _paragraphs(text: str) -> List[str]:
+    return [p for p in re.split(r"\n\s*\n", text.strip()) if p.strip()]
+
+
+def _rel(count: int, relation: str, threshold: int) -> bool:
+    if relation == "at least":
+        return count >= threshold
+    if relation == "at most":
+        return count <= threshold
+    if relation in ("exactly", "equal to"):
+        return count == threshold
+    if relation == "less than":
+        return count < threshold
+    return count >= threshold
+
+
+# ---------------------------------------------------------------------------
+# Checkers (IFEval instruction ids)
+# ---------------------------------------------------------------------------
+
+
+def keywords_existence(resp, keywords=(), **_):
+    low = resp.lower()
+    return all(k.lower() in low for k in keywords)
+
+
+def keywords_forbidden(resp, forbidden_words=(), **_):
+    words = set(_words(resp))
+    return all(k.lower() not in words for k in forbidden_words)
+
+
+def keywords_frequency(resp, keyword="", frequency=1, relation="at least", **_):
+    count = len(re.findall(re.escape(keyword.lower()), resp.lower()))
+    return _rel(count, relation, frequency)
+
+
+def keywords_letter_frequency(resp, letter="", let_frequency=1,
+                              let_relation="at least", **_):
+    return _rel(resp.lower().count(letter.lower()), let_relation, let_frequency)
+
+
+def length_number_words(resp, num_words=0, relation="at least", **_):
+    return _rel(len(_words(resp)), relation, num_words)
+
+
+def length_number_sentences(resp, num_sentences=0, relation="at least", **_):
+    return _rel(len(_sentences(resp)), relation, num_sentences)
+
+
+def length_number_paragraphs(resp, num_paragraphs=0, **_):
+    return len(_paragraphs(resp)) == num_paragraphs
+
+
+def format_number_bullets(resp, num_bullets=0, **_):
+    bullets = re.findall(r"^\s*\*[^*]", resp, flags=re.MULTILINE)
+    return len(bullets) == num_bullets
+
+
+def format_title(resp, **_):
+    return re.search(r"<<[^<>]+>>", resp) is not None
+
+
+def format_json(resp, **_):
+    body = resp.strip()
+    body = re.sub(r"^```(?:json)?|```$", "", body).strip()
+    try:
+        json.loads(body)
+        return True
+    except json.JSONDecodeError:
+        return False
+
+
+def format_number_highlighted_sections(resp, num_highlights=0, **_):
+    return len(re.findall(r"\*[^*\n]+\*", resp)) >= num_highlights
+
+
+def format_multiple_sections(resp, section_spliter="Section", num_sections=0, **_):
+    return len(re.findall(
+        rf"{re.escape(section_spliter)}\s+\d", resp
+    )) >= num_sections
+
+
+def case_all_lowercase(resp, **_):
+    return resp == resp.lower()
+
+
+def case_all_capital(resp, **_):
+    return resp == resp.upper()
+
+
+def case_capital_word_frequency(resp, capital_frequency=0,
+                                capital_relation="at least", **_):
+    caps = [w for w in re.findall(r"\b\w+\b", resp) if w.isupper() and len(w) > 1]
+    return _rel(len(caps), capital_relation, capital_frequency)
+
+
+def start_end_quotation(resp, **_):
+    t = resp.strip()
+    return len(t) >= 2 and t[0] == '"' and t[-1] == '"'
+
+
+def start_end_end_checker(resp, end_phrase="", **_):
+    return resp.strip().lower().endswith(end_phrase.strip().lower())
+
+
+def detectable_content_postscript(resp, postscript_marker="P.S.", **_):
+    return re.search(
+        re.escape(postscript_marker).replace(r"\.", r"\.?"), resp,
+        flags=re.IGNORECASE,
+    ) is not None
+
+
+def detectable_content_placeholders(resp, num_placeholders=0, **_):
+    return len(re.findall(r"\[[^\[\]]+\]", resp)) >= num_placeholders
+
+
+def punctuation_no_comma(resp, **_):
+    return "," not in resp
+
+
+def combination_repeat_prompt(resp, prompt_to_repeat="", **_):
+    return resp.strip().lower().startswith(prompt_to_repeat.strip().lower())
+
+
+def combination_two_responses(resp, **_):
+    return "******" in resp
+
+
+CHECKERS: Dict[str, Callable[..., bool]] = {
+    "keywords:existence": keywords_existence,
+    "keywords:forbidden_words": keywords_forbidden,
+    "keywords:frequency": keywords_frequency,
+    "keywords:letter_frequency": keywords_letter_frequency,
+    "length_constraints:number_words": length_number_words,
+    "length_constraints:number_sentences": length_number_sentences,
+    "length_constraints:number_paragraphs": length_number_paragraphs,
+    "detectable_format:number_bullet_lists": format_number_bullets,
+    "detectable_format:title": format_title,
+    "detectable_format:json_format": format_json,
+    "detectable_format:number_highlighted_sections":
+        format_number_highlighted_sections,
+    "detectable_format:multiple_sections": format_multiple_sections,
+    "change_case:english_lowercase": case_all_lowercase,
+    "change_case:english_capital": case_all_capital,
+    "change_case:capital_word_frequency": case_capital_word_frequency,
+    "startend:quotation": start_end_quotation,
+    "startend:end_checker": start_end_end_checker,
+    "detectable_content:postscript": detectable_content_postscript,
+    "detectable_content:number_placeholders": detectable_content_placeholders,
+    "punctuation:no_comma": punctuation_no_comma,
+    "combination:repeat_prompt": combination_repeat_prompt,
+    "combination:two_responses": combination_two_responses,
+}
+
+
+def _loose_variants(resp: str) -> List[str]:
+    """IFEval loose mode: retry after stripping markdown emphasis and the
+    first/last line."""
+    lines = resp.split("\n")
+    variants = [
+        resp,
+        resp.replace("*", ""),
+        "\n".join(lines[1:]).strip(),
+        "\n".join(lines[:-1]).strip(),
+        "\n".join(lines[1:-1]).strip(),
+    ]
+    return [v for v in variants if v]
+
+
+@dataclass
+class IFExample:
+    response: str
+    instruction_ids: Sequence[str]
+    kwargs: Sequence[dict] = field(default_factory=list)
+
+
+def evaluate(examples: Sequence[IFExample]) -> Dict[str, float]:
+    """Strict / loose prompt- and instruction-level accuracy."""
+    inst_strict = inst_loose = inst_total = 0
+    prompt_strict = prompt_loose = 0
+    for ex in examples:
+        kwargs_list = list(ex.kwargs) or [{}] * len(ex.instruction_ids)
+        strict_flags, loose_flags = [], []
+        for inst_id, kw in zip(ex.instruction_ids, kwargs_list):
+            checker = CHECKERS.get(inst_id)
+            if checker is None:
+                raise KeyError(f"unknown instruction id {inst_id!r}")
+            kw = {k: v for k, v in (kw or {}).items() if v is not None}
+            strict = bool(checker(ex.response, **kw))
+            loose = strict or any(
+                checker(v, **kw) for v in _loose_variants(ex.response)
+            )
+            strict_flags.append(strict)
+            loose_flags.append(loose)
+        inst_total += len(strict_flags)
+        inst_strict += sum(strict_flags)
+        inst_loose += sum(loose_flags)
+        prompt_strict += all(strict_flags)
+        prompt_loose += all(loose_flags)
+    n = max(len(examples), 1)
+    return {
+        "prompt_strict_acc": prompt_strict / n,
+        "prompt_loose_acc": prompt_loose / n,
+        "inst_strict_acc": inst_strict / max(inst_total, 1),
+        "inst_loose_acc": inst_loose / max(inst_total, 1),
+    }
+
+
+def evaluate_jsonl(response_path: str, data_path: str) -> Dict[str, float]:
+    """Score an IFEval-format dataset: ``data_path`` lines carry
+    {prompt, instruction_id_list, kwargs}; ``response_path`` lines carry
+    {prompt, response}."""
+    responses = {}
+    with open(response_path, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                d = json.loads(line)
+                responses[d["prompt"]] = d["response"]
+    examples = []
+    with open(data_path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            examples.append(IFExample(
+                response=responses.get(d["prompt"], ""),
+                instruction_ids=d["instruction_id_list"],
+                kwargs=d.get("kwargs", []),
+            ))
+    return evaluate(examples)
