@@ -102,6 +102,10 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["none", "int8"],
                    help="weight-only int8 serving quantization (halves "
                         "decode HBM traffic; Pallas dequant-in-VMEM matmuls)")
+    p.add_argument("--postprocess", type=str2bool, default=False,
+                   help="apply repetition-cleanup to understanding outputs "
+                        "(reference post_process_text, asr_task.py:58-172; "
+                        "off by default, matching the reference)")
     return p
 
 
@@ -354,6 +358,9 @@ def run_understanding(args) -> str:
                 text = runner.audio_question(prompt, q_ids, reason, semantic, **kw)
             else:
                 raise ValueError(task)
+            if args.postprocess:
+                from uniaudio2_tpu.engine.postprocess import post_process_text
+                text = post_process_text(text)
             f_out.write(f"{name}\t{text}\n")
             print(f"[{task}] {name} -> {text[:80]}")
     print(f"Results written to {results_path}")

@@ -115,9 +115,15 @@ class ReasoningCodecTokenizer:
 
         reason_list, rec_list = [], []
         for i in range(0, n_win, batch_size):
-            r, c = self._window_encode(windows[i : i + batch_size])
-            reason_list.append(r)
-            rec_list.append(c)
+            chunk = windows[i : i + batch_size]
+            real = chunk.shape[0]
+            if real < batch_size and n_win > batch_size:
+                # pad the tail batch so every call reuses one compiled shape
+                pad = np.repeat(chunk[-1:], batch_size - real, axis=0)
+                chunk = np.concatenate([chunk, pad], 0)
+            r, c = self._window_encode(chunk)
+            reason_list.append(r[:real])
+            rec_list.append(c[:real])
         reason = np.concatenate(reason_list, 0).reshape(-1, 8)[:out_len_reason]
         rec = np.concatenate(rec_list, 0).reshape(-1, 8)[:out_len]
         return reason.T.astype(np.int64), rec.T.astype(np.int64)
