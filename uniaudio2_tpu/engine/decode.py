@@ -62,7 +62,6 @@ class _LoopState(NamedTuple):
     frame_tokens: jax.Array     # (B, 1, 9) feedback tokens
     frame_mask: jax.Array       # (B, 1, 9) feedback mask
     is_reason: jax.Array        # bool: still in reasoning phase
-    save_flag: jax.Array        # bool (reference tts_task.py:250,265,273)
     forbid_prefix: jax.Array    # i32: 0 or audio_reason_card
     key: jax.Array              # PRNG
     caches: UnifiedCaches
@@ -120,7 +119,6 @@ def _build_generate(
             frame_tokens=first_tokens,
             frame_mask=first_mask,
             is_reason=jnp.asarray(True),
-            save_flag=jnp.asarray(True),
             forbid_prefix=jnp.int32(0),
             key=key,
             caches=caches,
@@ -172,9 +170,11 @@ def _build_generate(
             reason_eos_frame = jnp.all(audio_toks == ts.reason_eos)
             switch = jnp.logical_and(s.is_reason, reason_eos_frame)
             finished = sem_eos
+            # the reference saves every frame except the REOS switch frame
+            # and the SEOS stop frame (its save_flag is cleared on the switch
+            # frame and restored before the next one, tts_task.py:264-273)
             save_now = jnp.logical_and(
-                jnp.logical_and(s.save_flag, jnp.logical_not(switch)),
-                jnp.logical_not(finished),
+                jnp.logical_not(switch), jnp.logical_not(finished)
             )
             new_is_reason = jnp.logical_and(s.is_reason, jnp.logical_not(switch))
             phase = jnp.where(
@@ -188,9 +188,6 @@ def _build_generate(
             new_forbid = jnp.where(
                 switch, jnp.int32(ts.audio_reason_card), s.forbid_prefix
             )
-            # save_flag: False on the switch frame, restored the frame after
-            # (reference tts_task.py:265,273)
-            new_save_flag = jnp.logical_not(switch)
             # Feedback: raw audio tokens, audio-only mask (tts_task.py:275-277).
             fb_tokens = jnp.concatenate(
                 [jnp.broadcast_to(audio_toks, (batch, ncb)),
@@ -203,7 +200,7 @@ def _build_generate(
             return s._replace(
                 step=s.step + 1, pos=s.pos + 1, finished=finished,
                 frame_tokens=fb_tokens, frame_mask=fb_mask,
-                is_reason=new_is_reason, save_flag=new_save_flag,
+                is_reason=new_is_reason,
                 forbid_prefix=new_forbid, key=key, caches=caches,
                 audio_out=audio_out, phase_out=phase_out, text_out=text_out,
             )
@@ -220,7 +217,6 @@ class _BatchState(NamedTuple):
     frame_tokens: jax.Array     # (B, 1, 9)
     frame_mask: jax.Array       # (B, 1, 9)
     is_reason: jax.Array        # (B,) bool
-    save_flag: jax.Array        # (B,) bool
     forbid_prefix: jax.Array    # (B,) i32
     key: jax.Array
     caches: UnifiedCaches
@@ -283,7 +279,6 @@ def _build_generate_batched(
             frame_tokens=first_tokens,
             frame_mask=first_mask,
             is_reason=jnp.ones((b,), bool),
-            save_flag=jnp.ones((b,), bool),
             forbid_prefix=jnp.zeros((b,), jnp.int32),
             key=key,
             caches=caches,
@@ -336,9 +331,8 @@ def _build_generate_batched(
             reason_eos_frame = jnp.all(audio_toks == ts.reason_eos, axis=1)
             switch = jnp.logical_and(s.is_reason, reason_eos_frame)
             finished = jnp.logical_or(s.finished, sem_eos)
-            save_now = (
-                s.save_flag & ~switch & ~sem_eos & ~s.finished
-            )
+            # save everything except switch/stop frames (see unbatched note)
+            save_now = ~switch & ~sem_eos & ~s.finished
             new_is_reason = s.is_reason & ~switch
             phase = jnp.where(
                 save_now,
@@ -351,7 +345,6 @@ def _build_generate_batched(
             new_forbid = jnp.where(
                 switch, jnp.int32(ts.audio_reason_card), s.forbid_prefix
             )
-            new_save_flag = ~switch
             fb_tokens = jnp.concatenate(
                 [audio_toks, text_tok[:, None]], 1
             )[:, None, :]
@@ -361,7 +354,7 @@ def _build_generate_batched(
             return s._replace(
                 step=s.step + 1, finished=finished,
                 frame_tokens=fb_tokens, frame_mask=fb_mask,
-                is_reason=new_is_reason, save_flag=new_save_flag,
+                is_reason=new_is_reason,
                 forbid_prefix=new_forbid, key=key, caches=caches,
                 audio_out=audio_out, phase_out=phase_out, text_out=text_out,
             )
