@@ -111,3 +111,14 @@ def test_prompt_bank_covers_all_cli_tasks():
     for task in UNDERSTANDING_TASKS + GENERATION_TASKS:
         key = prompt_key_for_task(task)
         assert key in bank and bank[key], task
+
+
+def test_find_peer_utts(tmp_path):
+    u2s = tmp_path / "utt2spk"
+    u2s.write_text("u1 spkA\nu2 spkA\nu3 spkB\n")
+    out = str(tmp_path / "peers")
+    n = prep.find_peer_utts(str(u2s), out)
+    assert n == 3
+    peers = {l.split()[0]: l.split()[1:] for l in open(out)}
+    assert sorted(peers["u1"]) == ["u1", "u2"]
+    assert peers["u3"] == ["u3"]

@@ -102,6 +102,25 @@ def select_spk2utt(
     return len(kept)
 
 
+def find_peer_utts(
+    utt2spk: str, out: str, subset_list: Optional[str] = None
+) -> int:
+    """For each utterance, list every utterance by the same speaker
+    (speaker-prompt pool construction — reference
+    `tools/data_scripts/find_peer_utts.py`)."""
+    u2s = {k: v.split()[0] for k, v in read_scp(utt2spk).items()}
+    if subset_list:
+        keep = set(read_scp(subset_list))
+        u2s = {k: v for k, v in u2s.items() if k in keep}
+    s2u: Dict[str, List[str]] = {}
+    for utt, spk in u2s.items():
+        s2u.setdefault(spk, []).append(utt)
+    with open(out, "w", encoding="utf-8") as f:
+        for utt, spk in u2s.items():
+            f.write(" ".join([utt] + s2u[spk]) + "\n")
+    return len(u2s)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="data prep tooling")
     sub = p.add_subparsers(dest="cmd", required=True)
