@@ -15,6 +15,7 @@ def test_quantize_dequantize_error():
     q = quant.quantize(w)
     assert q.values.dtype == jnp.int8
     assert q.scale.shape == (128,)
+    assert q.values.shape == (64, 128)
     wd = quant.dequantize(q, jnp.float32)
     rel = np.abs(np.asarray(wd - w)).max() / np.abs(np.asarray(w)).max()
     assert rel < 0.01  # 127-level quantization: < 1% of column max
@@ -23,8 +24,12 @@ def test_quantize_dequantize_error():
 def test_quantize_stacked_layers():
     w = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 32))
     q = quant.quantize(w)
-    assert q.values.shape == (3, 16, 32)
+    assert q.values.shape == (3, 16, 128)  # lane-padded storage
     assert q.scale.shape == (3, 32)
+    np.testing.assert_allclose(
+        np.asarray(quant.dequantize(q, jnp.float32)), np.asarray(w),
+        atol=float(np.abs(np.asarray(w)).max()) * 0.01,
+    )
     # per-layer scales must match per-layer quantization
     q0 = quant.quantize(w[0])
     np.testing.assert_array_equal(np.asarray(q.values[0]), np.asarray(q0.values))
