@@ -113,6 +113,20 @@ def test_prompt_bank_covers_all_cli_tasks():
         assert key in bank and bank[key], task
 
 
+def test_prompt_bank_is_reference_verbatim():
+    # The prompt bank is runtime *data* fed to trained checkpoints — the
+    # strings must byte-match the reference's prompts/audio_tasks_prompts.json
+    # (paraphrases live in audio_tasks_prompts_paraphrased.json, opt-in only).
+    import hashlib
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "prompts", "audio_tasks_prompts.json"
+    )
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert digest == (
+        "bae3c72e8673102bdeb9ebaa5a68c7fe3b47a6e9ecbfc4a53f901e95b371842b"
+    )
+
+
 def test_find_peer_utts(tmp_path):
     u2s = tmp_path / "utt2spk"
     u2s.write_text("u1 spkA\nu2 spkA\nu3 spkB\n")
