@@ -103,6 +103,62 @@ def test_cli_tts_stage1(env):
     assert r.shape[0] == 8
 
 
+def test_cli_tts_stage_all_text_to_wav(env, monkeypatch):
+    """One in-process text->wav run: LLM decode (stage 1) wired into codec
+    decode (stage 2) through the real CLI artifact layout. The codec is a
+    tiny random-weight decoder injected via load_codec_tokenizer (the full
+    converter path is covered by tests/test_codec_convert.py)."""
+    import jax
+    from uniaudio2_tpu import cli
+    from uniaudio2_tpu.codec.decoder import CodecConfig, init_decode_params
+    from uniaudio2_tpu.codec.encoder import EncoderConfig
+    from uniaudio2_tpu.codec.tokenizer import ReasoningCodecTokenizer
+
+    codec_cfg = CodecConfig.tiny()
+    dec_params = init_decode_params(jax.random.PRNGKey(0), codec_cfg)
+    real = ReasoningCodecTokenizer(
+        None, dec_params, EncoderConfig.tiny_test(), codec_cfg)
+
+    class _ModCodec:
+        """Folds LLM token ids into the tiny codec's codebook range and pads
+        empty streams (an untrained tiny model may emit no semantic frames —
+        the wiring, not the audio, is under test)."""
+
+        def __init__(self, tok):
+            self._tok = tok
+            self.cfg = tok.cfg
+
+        def detokenize_no_reason(self, semantic, **kw):
+            sem = np.asarray(semantic)
+            if sem.shape[-1] == 0:
+                sem = np.zeros((8, 4), np.int64)
+            return self._tok.detokenize_no_reason(
+                sem % self.cfg.rec_codebook_size, **kw)
+
+    monkeypatch.setattr(
+        cli, "load_codec_tokenizer", lambda args, need_decode: _ModCodec(real))
+
+    out_dir = str(env["dir"] / "tts_all_out")
+    cli.main([
+        "--task", "TTS", "--stage", "all",
+        "--text", "hello world",
+        "--prompt_text", "speak this",
+        "--llm_train_config", env["yaml"],
+        "--text_tokenizer_path", env["tok_dir"],
+        "--resume", env["npz"],
+        "--output_dir", out_dir,
+        "--model_dtype", "float32",
+        "--max_frames", "6", "--topk", "5",
+        "--codec_steps", "2",
+    ])
+    assert os.path.isfile(os.path.join(out_dir, "utt_0_semantic.pt"))
+    wav_path = os.path.join(out_dir, "wavs", "utt_0.wav")
+    assert os.path.isfile(wav_path)
+    from uniaudio2_tpu.codec.tokenizer import load_wav
+    wav = load_wav(wav_path, real.cfg.sample_rate)
+    assert wav.size > 0 and np.isfinite(wav).all()
+
+
 def test_cli_asr_from_tokens(env):
     from uniaudio2_tpu import cli
 
