@@ -234,6 +234,7 @@ def _build_generate_batched(
     max_frames: int,
     temperature: float,
     topk: int,
+    use_cfg: bool = False,
     cache_dtype=jnp.bfloat16,
 ):
     """Batched multi-utterance generation: B independent rows decode in one
@@ -245,9 +246,17 @@ def _build_generate_batched(
     exactly. A per-row ``key_valid`` mask hides the left-padding cache slots
     in both prefill and decode. This is the throughput path the reference
     lacks entirely — its Generators are strictly batch 1 (`asr_task.py:186`).
+
+    With ``use_cfg`` the rows are interleaved [cond_i, uncond_i] pairs
+    (``n_rows`` counts rows, i.e. 2x the utterances — reference batch-2 CFG
+    trick `tts_task.py:232-236` generalised to many utterances); samples are
+    mixed per pair inside `unified.decode_frame`, so paired rows stay in
+    lockstep and the caller reads every even row.
     """
     ts = cfg.tokens
     ncb = ts.num_codebooks
+    if use_cfg:
+        assert n_rows % 2 == 0, "CFG rows come in [cond, uncond] pairs"
     cache_len = min(
         max(cfg.max_seq_len, bucket + max_frames + 1),
         -(-(bucket + max_frames + 1) // 256) * 256,
@@ -259,6 +268,7 @@ def _build_generate_batched(
         grid_mask: jax.Array,   # (B, bucket, 9)
         prompt_lens: jax.Array,  # (B,) i32
         key: jax.Array,
+        cfg_scale: jax.Array,   # f32 scalar (ignored unless use_cfg)
     ):
         b = n_rows
         caches = unified.init_caches(cfg, b, dtype=cache_dtype,
@@ -300,6 +310,7 @@ def _build_generate_batched(
                 params, cfg, s.frame_tokens, s.frame_mask, s.caches, pos,
                 sub, temperature=temperature, topk=topk,
                 forbid_prefix=s.forbid_prefix[:, None],
+                use_cfg=use_cfg, cfg_scale=cfg_scale,
                 key_valid=key_valid,
                 sample_text=mode == "text", sample_audio=mode == "audio",
             )
@@ -464,13 +475,15 @@ class DecodeEngine:
     # Batched multi-utterance decoding
     # ------------------------------------------------------------------
 
-    def _get_batched(self, mode, bucket, n_rows, temperature, topk):
-        key = ("batched", mode, bucket, n_rows, float(temperature), int(topk))
+    def _get_batched(self, mode, bucket, n_rows, temperature, topk,
+                     use_cfg=False):
+        key = ("batched", mode, bucket, n_rows, float(temperature), int(topk),
+               bool(use_cfg))
         if key not in self._compiled:
             fn = _build_generate_batched(
                 self.cfg, mode=mode, bucket=bucket, n_rows=n_rows,
                 max_frames=self.max_frames, temperature=temperature,
-                topk=topk, cache_dtype=self.cache_dtype,
+                topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -506,7 +519,8 @@ class DecodeEngine:
         """
         g, m, lens, bucket = self._pack_left(items)
         fn = self._get_batched("text", bucket, len(items), temperature, topk)
-        text_out, _, _, n = fn(self.params, g, m, lens, jax.random.PRNGKey(seed))
+        text_out, _, _, n = fn(self.params, g, m, lens,
+                               jax.random.PRNGKey(seed), jnp.float32(1.0))
         text = np.asarray(text_out)
         n = int(n)
         out = []
@@ -521,21 +535,45 @@ class DecodeEngine:
         temperature: float = 0.9,
         topk: int = 200,
         seed: int = 888,
+        use_cfg: bool = False,
+        cfg_scale: float = 1.0,
+        neg_items=None,
     ):
         """Two-phase audio decode over B prompts concurrently.
 
+        With ``use_cfg``, ``neg_items`` supplies each item's negative (pad-
+        substituted) prompt (reference `prepare_tts_task_for_cfg`,
+        `tts_task.py:171-189`); rows are interleaved [cond_i, uncond_i] and
+        decoded as 2B rows in one program.
+
         Returns a list of (reason (8, T1_i), semantic (8, T2_i)) per item.
         """
-        g, m, lens, bucket = self._pack_left(items)
-        fn = self._get_batched("audio", bucket, len(items), temperature, topk)
+        if use_cfg:
+            assert neg_items is not None and len(neg_items) == len(items), (
+                "CFG needs one negative prompt per item"
+            )
+            rows = []
+            for (g, m), (ng, nm) in zip(items, neg_items):
+                assert ng.shape == g.shape, (
+                    "CFG negative prompt must have the same length as the "
+                    "prompt (pad-substitution, tts_task.py:171-189)"
+                )
+                rows.extend([(g, m), (ng, nm)])
+        else:
+            rows = items
+        g, m, lens, bucket = self._pack_left(rows)
+        fn = self._get_batched("audio", bucket, len(rows), temperature, topk,
+                               use_cfg=use_cfg)
         _, audio_out, phase_out, n = fn(
-            self.params, g, m, lens, jax.random.PRNGKey(seed)
+            self.params, g, m, lens, jax.random.PRNGKey(seed),
+            jnp.float32(cfg_scale),
         )
         audio = np.asarray(audio_out)
         phases = np.asarray(phase_out)
         n = int(n)
+        stride = 2 if use_cfg else 1
         return [
-            split_two_phase(audio[i], phases[i], n,
+            split_two_phase(audio[i * stride], phases[i * stride], n,
                             self.cfg.tokens.audio_reason_card)
             for i in range(len(items))
         ]

@@ -339,9 +339,11 @@ def decode_frame(
     ``audio_reason_card`` during the semantic phase (two-phase audio decode,
     reference `tts_task.py:261-266`).
 
-    With ``use_cfg`` the batch is [conditioned, unconditioned]; logits are
-    mixed with `cfg_mix` and the sampled token is broadcast to both rows
-    (reference `model_new.py:618-637`).
+    With ``use_cfg`` the batch is interleaved [cond_0, uncond_0, cond_1,
+    uncond_1, ...] row pairs (2 rows per utterance — the single-utterance
+    case is B=2); per pair the logits are mixed with `cfg_mix` and the
+    sampled token is broadcast to both rows (reference `model_new.py:618-637`,
+    batch-2 trick `tts_task.py:232-236`).
 
     ``sample_text`` / ``sample_audio`` gate the two output heads: the
     reference always runs BOTH per frame and throws one away — text tasks
@@ -362,9 +364,10 @@ def decode_frame(
     if sample_text:
         text_logits = gpt.lm_head(params["backbone"], last_h)  # (B, V_text)
         if use_cfg:
-            mixed = cfg_mix(text_logits[0], text_logits[1], cfg_scale)
-            text_sample = sample_topk(key_text, mixed[None], topk, temperature)
-            text_sample = jnp.broadcast_to(text_sample, (b,))
+            lg = text_logits.reshape(b // 2, 2, -1)
+            mixed = cfg_mix(lg[:, 0], lg[:, 1], cfg_scale)
+            text_sample = sample_topk(key_text, mixed, topk, temperature)
+            text_sample = jnp.repeat(text_sample, 2, axis=0)  # (B,)
         else:
             text_sample = sample_topk(key_text, text_logits, topk, temperature)
     else:
@@ -407,6 +410,13 @@ def _local_decoder_generate(
     cb_offsets = jnp.arange(ncb, dtype=jnp.int32) * audio_vocab
     keys = jax.random.split(key, ncb)
 
+    # Per-pair forbid_prefix for interleaved CFG rows (pairs share phase
+    # state by construction — both rows are fed the same sampled frame).
+    fp_pair = forbid_prefix
+    if use_cfg and getattr(forbid_prefix, "ndim", 0) >= 1 \
+            and forbid_prefix.shape and forbid_prefix.shape[0] == b:
+        fp_pair = forbid_prefix[::2]
+
     def step(carry, xs):
         curr_h, cache = carry
         head_i, offset_i, key_i, i = xs
@@ -414,11 +424,12 @@ def _local_decoder_generate(
         dec_h, cache = gpt.decode_step(params["decoder"], dcfg, proj, cache, i)
         logits = matmul(dec_h[:, -1, :], head_i, out_dtype=jnp.float32)
         if use_cfg:
-            mixed = cfg_mix(logits[0], logits[1], cfg_scale)
+            lg = logits.reshape(b // 2, 2, -1)
+            mixed = cfg_mix(lg[:, 0], lg[:, 1], cfg_scale)
             sample = sample_topk(
-                key_i, mixed[None], topk, temperature, forbid_prefix=forbid_prefix
+                key_i, mixed, topk, temperature, forbid_prefix=fp_pair
             )
-            sample = jnp.broadcast_to(sample, (b,))
+            sample = jnp.repeat(sample, 2, axis=0)  # (B,)
         else:
             sample = sample_topk(
                 key_i, logits, topk, temperature, forbid_prefix=forbid_prefix
