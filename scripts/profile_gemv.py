@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from uniaudio2_tpu.ops import quant
 
-N_ITER = 400
+N_ITER = int(__import__("os").environ.get("UA2_GEMV_ITERS", "400"))
 
 
 def timed(fn, *args):

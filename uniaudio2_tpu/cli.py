@@ -185,7 +185,7 @@ def load_codec_tokenizer(args, need_decode: bool):
 
     return codec_cvt.load_tokenizer(
         config_path=args.codec_config, ckpt_path=args.codec_ckpt,
-        need_decode=need_decode,
+        need_decode=need_decode, music_ssl_folder=args.music_ssl_folder,
     )
 
 

@@ -24,6 +24,7 @@ Conversion is shape-tolerant like the reference's `strict=False` load
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import numpy as np
@@ -210,10 +211,71 @@ def convert_wavlm(sd, prefix, n_layers, n_convs, missing) -> Dict[str, Any]:
     }
 
 
-def convert_fairseq_ssl(sd, prefix, n_layers, n_convs, missing) -> Dict[str, Any]:
-    """fairseq wav2vec2/MERT encoder subtree -> ssl_encoder params."""
+def _parse_conv_feature_layers(spec: str):
+    """Parse fairseq's ``conv_feature_layers`` string — a Python expression
+    of list-of-(dim, kernel, stride) arithmetic like
+    ``"[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"``. Evaluated with
+    no builtins (the enclosing checkpoint is already a pickle, so this adds
+    no new trust surface; matches `mert_model.py:846` ``eval``)."""
+    layers = eval(spec, {"__builtins__": {}}, {})  # noqa: S307
+    return [tuple(int(v) for v in l) for l in layers]
+
+
+def ssl_config_from_fairseq(model_cfg: Dict[str, Any],
+                            task_cfg: Dict[str, Any],
+                            base=None):
+    """Map a fairseq MERT config (``ckpt['cfg']['model']`` / ``['task']`` or
+    the yaml equivalents) onto ``SSLEncoderConfig`` — frontend selection,
+    CQT extra-input, and stable post-proj LayerNorm included
+    (`mert_model.py:827-863`). ``base`` supplies defaults for unlisted
+    fields."""
+    import dataclasses
+
+    from uniaudio2_tpu.codec.ssl_encoder import SSLEncoderConfig
+
+    base = base or SSLEncoderConfig()
+    kw = {}
+    if "conv_feature_layers" in model_cfg:
+        layers = _parse_conv_feature_layers(model_cfg["conv_feature_layers"])
+        kw["conv_dim"] = tuple(l[0] for l in layers)
+        kw["conv_kernel"] = tuple(l[1] for l in layers)
+        kw["conv_stride"] = tuple(l[2] for l in layers)
+    field_map = {
+        "encoder_layers": "num_layers",
+        "encoder_embed_dim": "hidden_size",
+        "encoder_ffn_embed_dim": "ffn_dim",
+        "encoder_attention_heads": "num_heads",
+        "conv_pos": "pos_conv_kernel",
+        "conv_pos_groups": "pos_conv_groups",
+        "layer_norm_first": "layer_norm_first",
+        "extractor_mode": "extractor_mode",
+        "conv_bias": "conv_bias",
+        "audio_extract_type": "frontend",
+        "melspec_n_bins": "melspec_n_bins",
+        "do_cnn_feat_stable_layernorm": "stable_post_proj_ln",
+    }
+    for src, dst in field_map.items():
+        if src in model_cfg:
+            kw[dst] = model_cfg[src]
+    if model_cfg.get("feature_extractor_cqt"):
+        kw["cqt_bins"] = int(model_cfg.get("feature_extractor_cqt_bins", 84))
+    if "normalize" in task_cfg:
+        kw["wav_normalize"] = bool(task_cfg["normalize"])
+    if "sample_rate" in task_cfg:
+        kw["sample_rate"] = int(task_cfg["sample_rate"])
+    if "label_rate" in task_cfg:
+        kw["label_rate"] = int(task_cfg["label_rate"])
+    return dataclasses.replace(base, **kw)
+
+
+def convert_fairseq_ssl(sd, prefix, n_layers, n_convs, missing,
+                        *, frontend: str = "w2v_conv") -> Dict[str, Any]:
+    """fairseq wav2vec2/MERT encoder subtree -> ssl_encoder params.
+
+    With ``frontend="melspec"`` the checkpoint has no conv extractor
+    (`mert_model.py:836-843`); the spectrogram frontend is parameter-free."""
     convs = []
-    for i in range(n_convs):
+    for i in range(n_convs if frontend == "w2v_conv" else 0):
         c = _conv1d(sd, f"{prefix}feature_extractor.conv_layers.{i}.0", missing)
         c.pop("b", None)
         if i == 0:
@@ -467,7 +529,8 @@ def convert_codec_checkpoint(sd, enc_cfg, codec_cfg):
             len(enc_cfg.wavlm.conv_dim), missing),
         "ssl": convert_fairseq_ssl(
             sd, "pretrained_model.model.", enc_cfg.ssl.num_layers,
-            len(enc_cfg.ssl.conv_dim), missing),
+            len(enc_cfg.ssl.conv_dim), missing,
+            frontend=enc_cfg.ssl.frontend),
         "reasoning": reasoning,
         "d_conv_whisper": _conv1d(sd, "d_conv_whisper", missing),
         "d_conv_wavlm": _conv1d(sd, "d_conv_wavlm", missing),
@@ -496,12 +559,19 @@ def convert_codec_checkpoint(sd, enc_cfg, codec_cfg):
 
 
 def load_tokenizer(config_path: Optional[str], ckpt_path: Optional[str],
-                   *, need_decode: bool):
+                   *, need_decode: bool,
+                   music_ssl_folder: Optional[str] = None):
     """Build a ReasoningCodecTokenizer from reference-style config + ckpt.
 
     Reads the codec train yaml (`infer_config.yaml` fields) for sub-config
     paths, converts the torch dict, and loads the SQCodec checkpoint
-    referenced by ``sq_resume``."""
+    referenced by ``sq_resume``. ``music_ssl_folder`` (the reference's
+    fairseq user dir for the MERT/BEST-RQ tower) supplies the SSL tower's
+    frontend configuration — frontend type, mel/CQT bins, stable-LN — via a
+    ``*.yaml`` fairseq config inside it (`mert_model.py:827-863`)."""
+    import dataclasses
+    import glob as globmod
+
     import yaml
     from uniaudio2_tpu.codec.decoder import CodecConfig
     from uniaudio2_tpu.codec.encoder import EncoderConfig
@@ -511,6 +581,16 @@ def load_tokenizer(config_path: Optional[str], ckpt_path: Optional[str],
 
     enc_cfg = EncoderConfig()
     codec_cfg = CodecConfig()
+    if music_ssl_folder:
+        ycands = sorted(globmod.glob(os.path.join(music_ssl_folder, "*.yaml")))
+        if ycands:
+            with open(ycands[0], encoding="utf-8") as f:
+                ssl_yaml = yaml.safe_load(f) or {}
+            ssl_cfg = ssl_config_from_fairseq(
+                ssl_yaml.get("model", ssl_yaml),
+                ssl_yaml.get("task", {}), base=enc_cfg.ssl,
+            )
+            enc_cfg = dataclasses.replace(enc_cfg, ssl=ssl_cfg)
     sq_resume = None
     if config_path:
         with open(config_path, encoding="utf-8") as f:
