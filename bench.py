@@ -58,10 +58,17 @@ def main():
         frames = BENCH_FRAMES
 
     params = unified.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if os.environ.get("UA2_BENCH_QUANT", "1") == "1":
+    quant_mode = os.environ.get("UA2_BENCH_QUANT", "1")
+    if quant_mode != "0":
         from uniaudio2_tpu.ops.quant import quantize_unified_params
 
-        params = quantize_unified_params(params, donate=True)
+        # "int4": packed-int4 local decoder + audio head (these weights are
+        # re-read 8x per frame — VERDICT r1 item 2), int8 elsewhere.
+        int4 = ("decoder", "audio_head", "projection_w") \
+            if quant_mode == "int4" else ()
+        params = quantize_unified_params(params, donate=True,
+                                         int4_modules=int4)
+        params = unified.prepare_serving_params(params)
     # max_frames bounds the compiled loop; EOS never fires on random weights
     # only by chance, so force a fixed-length run via the frame cap.
     engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,))

@@ -62,6 +62,128 @@ def test_pallas_kernel_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-3)
 
 
+def test_int4_quantize_dequantize_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(6), (64, 128)) * 0.1
+    q = quant.quantize4(w)
+    assert q.values.shape == (32, 128)  # packed: two rows per byte
+    assert q.values.dtype == jnp.int8
+    wd = quant.dequantize4(q, jnp.float32)
+    rel = np.abs(np.asarray(wd - w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.08  # 15-level quantization: < 1/14 of column max
+    # exact nibble round trip: quantizing the dequantized values is stable
+    q2 = quant.quantize4(wd)
+    np.testing.assert_array_equal(np.asarray(q2.values), np.asarray(q.values))
+
+
+def test_int4_matmul_dispatch_and_stacked():
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 64)).astype(jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(8), (64, 32)) * 0.1
+    q = quant.quantize4(w)
+    out = quant.matmul(x, q)
+    ref = np.asarray(x) @ np.asarray(quant.dequantize4(q, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=1e-2, atol=1e-3)
+    # stacked layer leaves quantize per layer
+    ws = jax.random.normal(jax.random.PRNGKey(9), (3, 16, 32))
+    qs = quant.quantize4(ws)
+    assert qs.values.shape == (3, 8, 128)
+    q0 = quant.quantize4(ws[0])
+    np.testing.assert_array_equal(np.asarray(qs.values[0]), np.asarray(q0.values))
+
+
+def test_int4_pallas_kernel_interpret_matches_reference():
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(11), (256, 512)) * 0.05
+    q = quant.quantize4(w)
+    with pltpu.force_tpu_interpret_mode():
+        out = quant._pallas_int4_matmul(x, q.values, q.scale, block_n=128)
+    ref = np.asarray(x) @ np.asarray(quant.dequantize4(q, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-3)
+
+
+def test_int4_cols_roundtrip_and_matmul():
+    w = jax.random.normal(jax.random.PRNGKey(12), (64, 128)) * 0.1
+    q = quant.quantize4_cols(w)
+    assert q.values.shape == (64, 128)  # 64 packed cols, lane-padded to 128
+    wd = quant.dequantize4_cols(q, jnp.float32)
+    rel = np.abs(np.asarray(wd - w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.08
+    x = jax.random.normal(jax.random.PRNGKey(13), (3, 64), jnp.float32)
+    out = quant.matmul(x, q)
+    ref = np.asarray(x) @ np.asarray(wd)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_int4c_pallas_kernel_interpret_matches_reference():
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jax.random.normal(jax.random.PRNGKey(14), (2, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(15), (256, 512)) * 0.05
+    q = quant.quantize4_cols(w)
+    with pltpu.force_tpu_interpret_mode():
+        out = quant._pallas_int4c_matmul(x, q.values, q.scale, block_n=128)
+    ref = np.asarray(x) @ np.asarray(quant.dequantize4_cols(q, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_fused_swiglu_interpret_matches_unfused(bits):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from uniaudio2_tpu.ops import fused_mlp
+
+    k, i, n = 256, 512, 256
+    rng = jax.random.PRNGKey(16)
+    k1, k2, k3, kx = jax.random.split(rng, 4)
+    w1 = jax.random.normal(k1, (k, i)) * 0.05
+    w2 = jax.random.normal(k2, (k, i)) * 0.05
+    w3 = jax.random.normal(k3, (i, n)) * 0.05
+    x = jax.random.normal(kx, (2, k), jnp.float32)
+    if bits == 8:
+        q1, q2, q3 = quant.quantize(w1), quant.quantize(w2), quant.quantize(w3)
+        d1 = quant.dequantize(q1, jnp.float32)
+        d2 = quant.dequantize(q2, jnp.float32)
+        d3 = quant.dequantize(q3, jnp.float32)
+    else:
+        q1, q2 = quant.quantize4(w1), quant.quantize4(w2)
+        q3 = quant.quantize4_cols(w3)
+        d1 = quant.dequantize4(q1, jnp.float32)
+        d2 = quant.dequantize4(q2, jnp.float32)
+        d3 = quant.dequantize4_cols(q3, jnp.float32)
+    assert fused_mlp.can_fuse(q1, q2, q3, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mlp.fused_swiglu(x, q1, q2, q3)
+    xn = np.asarray(x)
+    h = jax.nn.silu(xn @ np.asarray(d1)) * (xn @ np.asarray(d2))
+    ref = np.asarray(h) @ np.asarray(d3)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_int4_decoder_unified_decode_runs():
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.engine.decode import DecodeEngine
+    from uniaudio2_tpu.engine import tasks as tm
+    from uniaudio2_tpu.models import unified
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_unified_params(params, int4_modules=("decoder",))
+    assert isinstance(qparams["decoder"]["layers"]["qkv_w"],
+                      quant.QuantizedLinear4)
+    assert isinstance(qparams["backbone"]["layers"]["qkv_w"],
+                      quant.QuantizedLinear)
+    eng = DecodeEngine(qparams, cfg, max_frames=4, cache_dtype=jnp.float32,
+                       buckets=(64,))
+    grid, mask = tm.prepare_tts(np.array([1, 5, 6]), np.array([1, 10, 2]),
+                                cfg.tokens)
+    reason, semantic = eng.generate_audio(grid, mask, topk=5)
+    assert reason.shape[0] == 8 and semantic.shape[0] == 8
+
+
 def test_quantized_unified_decode_runs():
     from uniaudio2_tpu.config import UnifiedModelConfig
     from uniaudio2_tpu.engine.decode import DecodeEngine

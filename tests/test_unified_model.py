@@ -86,6 +86,29 @@ def test_decode_frame_cfg_broadcasts(tiny):
     np.testing.assert_array_equal(np.asarray(frame[0]), np.asarray(frame[1]))
 
 
+def test_serving_fold_matches_unfolded_decode(tiny):
+    """prepare_serving_params folds audio_embeddings @ projection_w; the
+    greedy frame decode must be unchanged (the fold is exact linearity, only
+    dtype rounding differs — fp32 here, so bit-equal sampling decisions)."""
+    cfg, params = tiny
+    s = 4
+    tokens, mask = _random_grid(cfg, jax.random.PRNGKey(11), s)
+    folded = unified.prepare_serving_params(params, dtype=jnp.float32)
+    assert folded["audio_embeddings_proj"].shape == (
+        params["audio_embeddings"].shape[0], cfg.decoder.n_embd)
+    frames = []
+    for p in (params, folded):
+        caches = unified.init_caches(cfg, 1, dtype=jnp.float32)
+        caches = unified.prefill(p, cfg, tokens[:, :-1], mask[:, :-1], caches)
+        frame, _ = unified.decode_frame(
+            p, cfg, tokens[:, -1:], mask[:, -1:], caches, jnp.int32(s - 1),
+            jax.random.PRNGKey(7), temperature=0.9, topk=3,
+            forbid_prefix=jnp.int32(0),
+        )
+        frames.append(np.asarray(frame))
+    np.testing.assert_array_equal(frames[0], frames[1])
+
+
 def test_forbid_prefix_masks_reasoning_vocab(tiny):
     """With forbid_prefix = reason_card, sampled audio ids must all fall in
     the semantic segment (reference audio_sample_topk semantics,

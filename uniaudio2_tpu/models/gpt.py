@@ -114,10 +114,20 @@ def _qkv(
 
 
 def _mlp(layer: Params, x: jax.Array) -> jax.Array:
-    """SwiGLU (reference `LLaMAMLP`, `lit_model.py:582-595`)."""
-    gate = matmul(x, layer["fc1_w"])
-    up = matmul(x, layer["fc2_w"])
-    return matmul(jax.nn.silu(gate) * up, layer["mlp_proj_w"])
+    """SwiGLU (reference `LLaMAMLP`, `lit_model.py:582-595`).
+
+    Quantized small-M steps (decode) route through the single fused Pallas
+    kernel (`ops/fused_mlp.py`) — one weight-streaming pass instead of three
+    calls with HBM-round-tripped intermediates."""
+    from uniaudio2_tpu.ops import fused_mlp
+    from uniaudio2_tpu.ops.quant import _use_pallas
+
+    w1, w2, w3 = layer["fc1_w"], layer["fc2_w"], layer["mlp_proj_w"]
+    if _use_pallas() and fused_mlp.can_fuse(w1, w2, w3, x):
+        return fused_mlp.fused_swiglu(x, w1, w2, w3)
+    gate = matmul(x, w1)
+    up = matmul(x, w2)
+    return matmul(jax.nn.silu(gate) * up, w3)
 
 
 def _rope_tables(cfg: GPTConfig, max_positions: int) -> Tuple[jax.Array, jax.Array]:

@@ -34,7 +34,9 @@ import jax.numpy as jnp
 from uniaudio2_tpu.config import GPTConfig, UnifiedModelConfig
 from uniaudio2_tpu.models import gpt
 from uniaudio2_tpu.ops.kv_cache import KVCache, init_cache
-from uniaudio2_tpu.ops.quant import matmul
+from uniaudio2_tpu.ops.quant import (
+    QuantizedLinear, QuantizedLinear4, dequantize, dequantize4, matmul,
+)
 from uniaudio2_tpu.ops.sampling import cfg_mix, sample_topk
 
 Params = Dict[str, Any]
@@ -89,6 +91,37 @@ def init_caches(
         understanding=init_cache(cfg.understanding_expert, batch, s, dtype),
         generation=init_cache(cfg.generation_expert, batch, s, dtype),
     )
+
+
+def prepare_serving_params(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Serving-time fold: precompute ``audio_embeddings @ projection_w``.
+
+    Inside the local RQ-decoder's 8 sequential microsteps the input is
+    either the frame hidden state (microstep 0) or an audio-token embedding
+    (microsteps 1..7), each pushed through the 3072->2048 projection
+    (reference `model_new.py:630-643`). The projection is linear, so for the
+    embedding case it can be folded into the table once — removing a matmul
+    (and its weight read + serial dependency) from 7 of the 8 microsteps per
+    frame. ~400 MB of HBM for the folded table at bf16; exactness is bf16
+    rounding of the same product.
+    """
+    emb = params["audio_embeddings"]
+    w = params["projection_w"]
+    if isinstance(w, QuantizedLinear):
+        w = dequantize(w, jnp.float32)
+    elif isinstance(w, QuantizedLinear4):
+        w = dequantize4(w, jnp.float32)
+
+    @jax.jit
+    def fold(emb, w):
+        return jnp.einsum(
+            "vd,de->ve", emb.astype(jnp.float32), w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+
+    out = dict(params)
+    out["audio_embeddings_proj"] = fold(emb, w)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -401,6 +434,12 @@ def _local_decoder_generate(
     (the reference resets the decoder cache every frame,
     `model_new.py:629-643`). Implemented as `lax.scan` over codebooks with the
     stacked `audio_head` as scan inputs — one compiled step body.
+
+    With serving params (`prepare_serving_params`) the per-microstep
+    3072->2048 projection of the sampled token's embedding is a single
+    pre-folded table gather; only microstep 0 (the frame hidden state) still
+    multiplies by ``projection_w``.
+
     Returns (B, 8) sampled codebook ids."""
     b = last_h.shape[0]
     dcfg = cfg.decoder
@@ -409,6 +448,7 @@ def _local_decoder_generate(
     audio_vocab = cfg.tokens.audio_vocab
     cb_offsets = jnp.arange(ncb, dtype=jnp.int32) * audio_vocab
     keys = jax.random.split(key, ncb)
+    proj_table = params.get("audio_embeddings_proj")
 
     # Per-pair forbid_prefix for interleaved CFG rows (pairs share phase
     # state by construction — both rows are fed the same sampled frame).
@@ -420,7 +460,10 @@ def _local_decoder_generate(
     def step(carry, xs):
         curr_h, cache = carry
         head_i, offset_i, key_i, i = xs
-        proj = matmul(curr_h, params["projection_w"])
+        if proj_table is None:
+            proj = matmul(curr_h, params["projection_w"])
+        else:
+            proj = curr_h  # already in decoder space (folded table / h0 proj)
         dec_h, cache = gpt.decode_step(params["decoder"], dcfg, proj, cache, i)
         logits = matmul(dec_h[:, -1, :], head_i, out_dtype=jnp.float32)
         if use_cfg:
@@ -434,9 +477,13 @@ def _local_decoder_generate(
             sample = sample_topk(
                 key_i, logits, topk, temperature, forbid_prefix=forbid_prefix
             )
-        next_h = jnp.take(params["audio_embeddings"], sample + offset_i, axis=0)
+        table = params["audio_embeddings"] if proj_table is None else proj_table
+        next_h = jnp.take(table, sample + offset_i, axis=0)
         return (next_h[:, None, :], cache), sample
 
+    h0 = last_h
+    if proj_table is not None:
+        h0 = matmul(last_h, params["projection_w"]).astype(proj_table.dtype)
     xs = (params["audio_head"], cb_offsets, keys, jnp.arange(ncb, dtype=jnp.int32))
-    (_, _), samples = jax.lax.scan(step, (last_h[:, None, :], dec_cache), xs)
+    (_, _), samples = jax.lax.scan(step, (h0[:, None, :], dec_cache), xs)
     return samples.T  # (B, 8)
