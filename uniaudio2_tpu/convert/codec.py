@@ -405,7 +405,9 @@ def convert_reasoning(sd, prefix, depth, missing) -> Dict[str, Any]:
     qkv_w, _ = st_fold("encoder_transformers.{}.self_attn.to_qkv")
     out_w, _ = st_fold("encoder_transformers.{}.self_attn.to_out")
     glu_w, glu_b = st_fold("encoder_transformers.{}.ff.ff.0.proj")
-    ffo_w, ffo_b = st_fold("encoder_transformers.{}.ff.ff.1")
+    # linear_out sits at Sequential index 2 (index 1 is an Identity) —
+    # modules/transformer.py:283-288
+    ffo_w, ffo_b = st_fold("encoder_transformers.{}.ff.ff.2")
 
     def st(fmt):
         return np.stack([
