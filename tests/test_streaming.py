@@ -81,3 +81,67 @@ def test_flush_pads_partial_frame(setup):
     assert out1.shape[1] == 1
     out2 = enc.flush()
     assert out2.shape[1] == 1
+
+
+def test_encoder_state_is_o1(setup):
+    """O(1)-state property: the state pytree's shapes never change across
+    feeds, and every chunk reuses ONE compiled step (no shape growth, no
+    recompiles) — per-chunk cost is constant in stream length (VERDICT r1
+    item 8; reference RingKVCache `transformer.py:211-281`, streaming convs
+    `conv.py:168-280`)."""
+    params, cfg = setup
+    frame = _frame_samples(cfg)
+    enc = StreamingMimiEncoder(params, cfg)
+    shapes0 = jax.tree_util.tree_map(lambda a: a.shape, enc._state)
+    rng = np.random.default_rng(3)
+    for _ in range(30):  # well past cfg.context in total
+        enc.feed(rng.standard_normal(frame).astype(np.float32) * 0.1)
+    shapes1 = jax.tree_util.tree_map(lambda a: a.shape, enc._state)
+    assert shapes0 == shapes1
+    assert enc._step._cache_size() == 1  # one compiled program for all chunks
+
+
+def test_streaming_encode_long_stream_matches_offline(setup):
+    """Offline-identical even far past the transformer context window (the
+    old rolling-window facade guaranteed this too, but at O(window) cost;
+    the ring-KV path must preserve exactness with O(1) work)."""
+    params, cfg = setup
+    frame = _frame_samples(cfg)
+    n_frames = cfg.context // 2 + 40  # > context in transformer positions
+    wav = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (frame * n_frames,))
+    ).astype(np.float32) * 0.1
+    offline = np.asarray(mimi.encode(params, cfg, jax.numpy.asarray(wav)[None]))[0]
+    enc = StreamingMimiEncoder(params, cfg)
+    got = np.concatenate(
+        [enc.feed(wav[i * frame : (i + 1) * frame]) for i in range(n_frames)],
+        axis=1,
+    )
+    np.testing.assert_array_equal(got, offline)
+
+
+def test_streaming_decode_long_stream_matches_offline(setup):
+    params, cfg = setup
+    rng = np.random.default_rng(5)
+    n = cfg.context // 2 + 40
+    codes = rng.integers(0, cfg.codebook_size, (cfg.rvq_layers, n))
+    offline = np.asarray(mimi.decode(params, cfg, jax.numpy.asarray(codes)[None]))[0]
+    dec = StreamingMimiDecoder(params, cfg)
+    got = np.concatenate([dec.feed(codes[:, i : i + 1]) for i in range(n)])
+    np.testing.assert_allclose(got, offline, atol=1e-4)
+    assert dec._step._cache_size() == 1
+
+
+def test_streaming_chunk_frames_gt1(setup):
+    """Larger compiled chunk granularity gives the same outputs."""
+    params, cfg = setup
+    frame = _frame_samples(cfg)
+    n_frames = 12
+    wav = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(9), (frame * n_frames,))
+    ).astype(np.float32) * 0.1
+    offline = np.asarray(mimi.encode(params, cfg, jax.numpy.asarray(wav)[None]))[0]
+    enc = StreamingMimiEncoder(params, cfg, chunk_frames=3)
+    got = np.concatenate([enc.feed(wav[: 5 * frame]),
+                          enc.feed(wav[5 * frame :])], axis=1)
+    np.testing.assert_array_equal(got, offline)
