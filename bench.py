@@ -64,8 +64,14 @@ def main():
 
         # "int4": packed-int4 local decoder + audio head (these weights are
         # re-read 8x per frame — VERDICT r1 item 2), int8 elsewhere.
-        int4 = ("decoder", "audio_head", "projection_w") \
-            if quant_mode == "int4" else ()
+        # "int4all": every weight matrix int4 (max batch-1 throughput).
+        if quant_mode == "int4all":
+            int4 = ("backbone", "decoder", "understanding_expert",
+                    "generation_expert", "audio_head", "projection_w")
+        elif quant_mode == "int4":
+            int4 = ("decoder", "audio_head", "projection_w")
+        else:
+            int4 = ()
         params = quantize_unified_params(params, donate=True,
                                          int4_modules=int4)
         params = unified.prepare_serving_params(params)

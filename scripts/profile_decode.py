@@ -37,9 +37,21 @@ def timed(fn, *args):
 
 
 def main():
+    import os
     cfg = UnifiedModelConfig()
     params = unified.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    params = quant.quantize_unified_params(params, donate=True)
+    qmode = os.environ.get("UA2_BENCH_QUANT", "1")
+    if qmode == "int4all":
+        int4 = ("backbone", "decoder", "understanding_expert",
+                "generation_expert", "audio_head", "projection_w")
+    elif qmode == "int4":
+        int4 = ("decoder", "audio_head", "projection_w")
+    else:
+        int4 = ()
+    params = quant.quantize_unified_params(params, donate=True,
+                                           int4_modules=int4)
+    if qmode != "0":
+        params = unified.prepare_serving_params(params)
 
     # ---- 1. full frame loop (bench path) ----
     engine = DecodeEngine(params, cfg, max_frames=FRAMES, buckets=(64,))

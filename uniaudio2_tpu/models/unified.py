@@ -93,17 +93,25 @@ def init_caches(
     )
 
 
-def prepare_serving_params(params: Params, dtype=jnp.bfloat16) -> Params:
-    """Serving-time fold: precompute ``audio_embeddings @ projection_w``.
+def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
+                           unroll: bool = True) -> Params:
+    """Serving-time layout transforms (decode-throughput; semantics
+    unchanged):
 
-    Inside the local RQ-decoder's 8 sequential microsteps the input is
-    either the frame hidden state (microstep 0) or an audio-token embedding
-    (microsteps 1..7), each pushed through the 3072->2048 projection
-    (reference `model_new.py:630-643`). The projection is linear, so for the
-    embedding case it can be folded into the table once — removing a matmul
-    (and its weight read + serial dependency) from 7 of the 8 microsteps per
-    frame. ~400 MB of HBM for the folded table at bf16; exactness is bf16
-    rounding of the same product.
+    1. Fold ``audio_embeddings @ projection_w`` into one gathered table.
+       Inside the local RQ-decoder's 8 sequential microsteps the input is
+       either the frame hidden state (microstep 0) or an audio-token
+       embedding (microsteps 1..7), each pushed through the 3072->2048
+       projection (reference `model_new.py:630-643`). The projection is
+       linear, so for the embedding case it can be folded into the table
+       once — removing a matmul (and its weight read + serial dependency)
+       from 7 of the 8 microsteps per frame. ~400 MB of HBM at bf16;
+       exactness is bf16 rounding of the same product.
+    2. Unstack layer-stacked weights into per-layer buffers (and the
+       stacked ``audio_head`` into per-codebook heads) so the decode loops
+       unroll instead of `lax.scan`-slicing — each Pallas matmul then reads
+       its weight straight from HBM with no materialized slice copy
+       (`gpt.unstack_layers`; measured 1.7x weight-stream bandwidth).
     """
     emb = params["audio_embeddings"]
     w = params["projection_w"]
@@ -121,6 +129,17 @@ def prepare_serving_params(params: Params, dtype=jnp.bfloat16) -> Params:
 
     out = dict(params)
     out["audio_embeddings_proj"] = fold(emb, w)
+    if unroll:
+        for sub in ("backbone", "decoder", "understanding_expert",
+                    "generation_expert"):
+            out[sub] = gpt.unstack_layers(out[sub])
+        head = out["audio_head"]
+        if not isinstance(head, list):
+            ncb = jax.tree_util.tree_leaves(head)[0].shape[0]
+            out["audio_head"] = [
+                jax.tree_util.tree_map(lambda a: a[i], head)
+                for i in range(ncb)
+            ]
     return out
 
 
@@ -484,6 +503,19 @@ def _local_decoder_generate(
     h0 = last_h
     if proj_table is not None:
         h0 = matmul(last_h, params["projection_w"]).astype(proj_table.dtype)
-    xs = (params["audio_head"], cb_offsets, keys, jnp.arange(ncb, dtype=jnp.int32))
+    heads = params["audio_head"]
+    if isinstance(heads, list):
+        # unrolled serving form (see `prepare_serving_params`): per-codebook
+        # head buffers, trace-time loop — no scan-slice copies of the 8x-read
+        # decoder/head weights
+        carry = (h0[:, None, :], dec_cache)
+        samples = []
+        for i in range(ncb):
+            carry, s = step(
+                carry, (heads[i], cb_offsets[i], keys[i], jnp.int32(i))
+            )
+            samples.append(s)
+        return jnp.stack(samples, axis=1)  # (B, 8)
+    xs = (heads, cb_offsets, keys, jnp.arange(ncb, dtype=jnp.int32))
     (_, _), samples = jax.lax.scan(step, (h0[:, None, :], dec_cache), xs)
     return samples.T  # (B, 8)
