@@ -26,16 +26,21 @@ from jax.experimental.pallas.ops.tpu.flash_attention import (
 
 from uniaudio2_tpu.ops.attention import causal_attention
 
-LAYERS_BB = 28
-LAYERS_DIT = 32
+LAYERS_BB = 28 * 8  # 8 reps to drown the ~30ms tunnel overhead
+LAYERS_DIT = 32 * 8
 
 
-def timed(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+import numpy as _np
+
+
+def timed(fn, q, k, v):
+    # fresh inputs for the timed run (the remote tunnel caches identical
+    # calls) and a host transfer for true synchronisation
+    _np.asarray(fn(q, k, v))
+    q2 = q + 1e-3
+    _np.asarray(q2)
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _np.asarray(fn(q2, k, v))
     return time.perf_counter() - t0
 
 
@@ -62,7 +67,7 @@ def bench_case(name, n_layers, make_qkv, einsum_fn, flash_fn):
                       "ms_per_layer": round(t_e / n_layers * 1e3, 3)}),
           flush=True)
     try:
-        t_f = timed(loop_flash, q, k, v)
+        t_f = timed(loop_flash, q, k, v)  # noqa: same harness, fresh inputs
         print(json.dumps({"case": name, "path": "flash",
                           "ms_total": round(t_f * 1e3, 2),
                           "ms_per_layer": round(t_f / n_layers * 1e3, 3),
