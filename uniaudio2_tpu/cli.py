@@ -99,9 +99,13 @@ def get_parser() -> argparse.ArgumentParser:
                    help="decode-frame cap (reference max_audio_frames, "
                         "tts_task.py:222)")
     p.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "int8"],
-                   help="weight-only int8 serving quantization (halves "
-                        "decode HBM traffic; Pallas dequant-in-VMEM matmuls)")
+                   choices=["none", "int8", "int4", "int4all"],
+                   help="weight-only serving quantization (Pallas "
+                        "dequant-in-VMEM matmuls). int8: all matrices; "
+                        "int4: packed int4 for the 8x-per-frame local "
+                        "decoder + audio head, int8 elsewhere; int4all: "
+                        "every matrix int4 (max batch-1 throughput; "
+                        "most quantization error)")
     p.add_argument("--postprocess", type=str2bool, default=False,
                    help="apply repetition-cleanup to understanding outputs "
                         "(reference post_process_text, asr_task.py:58-172; "
@@ -166,10 +170,17 @@ def build_runner(args) -> TaskRunner:
     from uniaudio2_tpu.text.tokenizer import TextTokenizer
 
     cfg, params = load_llm(args)
-    if args.quantize == "int8":
+    if args.quantize != "none":
+        from uniaudio2_tpu.models.unified import prepare_serving_params
         from uniaudio2_tpu.ops.quant import quantize_unified_params
 
-        params = quantize_unified_params(params)
+        int4 = {"int4": ("decoder", "audio_head", "projection_w"),
+                "int4all": ("backbone", "decoder", "understanding_expert",
+                            "generation_expert", "audio_head",
+                            "projection_w")}.get(args.quantize, ())
+        params = quantize_unified_params(params, donate=True,
+                                         int4_modules=int4)
+        params = prepare_serving_params(params)
     tok = TextTokenizer(args.text_tokenizer_path)
     engine = DecodeEngine(
         params, cfg, max_frames=args.max_frames,
