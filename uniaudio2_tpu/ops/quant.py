@@ -247,6 +247,11 @@ def _pallas_int4_matmul(
         scale = jnp.pad(scale, ((0, n - n_orig),), constant_values=1.0)
     if block_n is None:
         block_n = 512
+    # the in-kernel nibble unpack materialises lo/hi bf16 copies of the
+    # block (2 * k2 * bn * 2 bytes) — cap bn so that stays within scoped
+    # VMEM alongside the x block (large-K shapes OOM'd at bn=512)
+    while block_n > 128 and 4 * k2 * block_n > 4 * 2 ** 20:
+        block_n //= 2
     block_n = 1 << (block_n.bit_length() - 1)
     bn = min(block_n, n)
     while n % bn and bn > 128:
@@ -305,6 +310,10 @@ def _pallas_int4c_matmul(
         jnp.pad(scale[:nh], ((0, halfpad - nh),), constant_values=1.0),
         jnp.pad(scale[nh:], ((0, halfpad - (n - nh)),), constant_values=1.0),
     ])
+    # unpack materialises lo/hi bf16 (k, bn) copies — bound bn by VMEM
+    # (batched prefill at K=8192, bn=512 overflowed scoped vmem)
+    while block_n > 128 and 4 * k * block_n > 4 * 2 ** 20:
+        block_n //= 2
     bn = min(1 << (block_n.bit_length() - 1), halfpad)
     while halfpad % bn and bn > 128:
         bn //= 2
