@@ -513,6 +513,55 @@ def convert_scalar_ae(sd: Mapping[str, np.ndarray], cfg) -> Tuple[Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
+def convert_feature_decoder(sd, prefix: str, strides, missing) -> Dict[str, Any]:
+    """Reference SEANet feature `Decoder` (`llm_models/semantic_decoder.py:
+    247-295`) -> `codec/semantic_decoder.py` params. Key layout: the
+    `Conv1d`/`ConvTranspose1d` wrappers nest `.conv`/`.deconv`; the 1x1
+    `Conv1d1x1` subclasses nn.Conv1d directly (no nesting)."""
+
+    def tconv(base):
+        w = _get(sd, base + ".weight", missing)  # (in, out, k)
+        b = sd.get(base + ".bias")
+        return {"w": w.transpose(2, 0, 1) if w is not None else None,
+                "b": b}
+
+    blocks = []
+    for i, stride in enumerate(strides):
+        base = f"{prefix}conv_blocks.{i}"
+        if stride == 1:
+            conv = _conv1d(sd, base + ".conv.conv", missing)
+        else:
+            conv = tconv(base + ".conv.deconv")
+        res = []
+        for j in (0, 1):
+            res.append({
+                "c1": {"w": _conv1d(sd, f"{base}.res_units.{j}.conv1.conv",
+                                    missing)["w"], "b": None},
+                "c2": {"w": _conv1d(sd, f"{base}.res_units.{j}.conv2",
+                                    missing)["w"], "b": None},
+            })
+        blocks.append({"conv": conv, "res": res})
+    return {
+        "conv1": {"w": _conv1d(sd, prefix + "conv1.conv", missing)["w"],
+                  "b": None},
+        "blocks": blocks,
+        "conv2": {"w": _conv1d(sd, prefix + "conv2.conv", missing)["w"],
+                  "b": None},
+    }
+
+
+def convert_feature_decoders(sd) -> Tuple[Dict[str, Any], Dict[str, Any], List[str]]:
+    """The two codec-training feature decoders (`AudioDiffusion1D.py:252-253`):
+    (structure_semantic, pronunciation, missing). Training-side only —
+    `convert_codec_checkpoint` does not need them for inference."""
+    missing: List[str] = []
+    struct = convert_feature_decoder(
+        sd, "structure_semantic_decoder.", (1, 2), missing)
+    pron = convert_feature_decoder(
+        sd, "pronunciation_decoder.", (2, 2), missing)
+    return struct, pron, missing
+
+
 def convert_codec_checkpoint(sd, enc_cfg, codec_cfg):
     """Full AudioDiffusion1D dict -> (encode_params, decode_params, missing)."""
     missing: List[str] = []
