@@ -214,3 +214,44 @@ def test_quantized_unified_decode_runs():
     toks_fp = eng_fp.generate_text(grid, mask, topk=1)
     # not bit-guaranteed (1% weight error) — only check same dtype/shape sanity
     assert toks.dtype == toks_fp.dtype
+
+
+def test_int4_grouped_roundtrip_and_matmul():
+    """Group-wise int4: dequant matches per-group scaling; matmul agrees
+    with explicit dequantized einsum; quantization error strictly below the
+    per-channel int4 error on outlier-bearing weights."""
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (512, 384), jnp.float32)
+    # plant outliers: one huge row poisons whole columns under per-channel
+    w = w.at[17].mul(40.0)
+    g = quant.quantize4_grouped(w, group=128)
+    assert g.values.shape == (256, 384) and g.scale.shape == (4, 384)
+    wg = quant.dequantize4_grouped(g, jnp.float32)
+    w4 = quant.dequantize4(quant.quantize4(w), jnp.float32)
+    err_g = float(jnp.abs(wg - w).mean())
+    err_c = float(jnp.abs(w4 - w).mean())
+    assert err_g < 0.5 * err_c, (err_g, err_c)
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 512), jnp.bfloat16)
+    got = quant.matmul(x, g)
+    ref = jnp.einsum("mk,kn->mn", x, wg.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-1, rtol=3e-2)
+
+
+def test_int4_grouped_unified_tree():
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.models import unified
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    qp = quant.quantize_unified_params(
+        params, int4_modules=("decoder", "audio_head", "projection_w"),
+        grouped=True)
+    k = params["decoder"]["layers"]["qkv_w"].shape[-2]
+    if k % (2 * quant.INT4_GROUP) == 0:
+        assert isinstance(qp["decoder"]["layers"]["qkv_w"],
+                          quant.QuantizedLinear4G)
+    sp = unified.prepare_serving_params(qp)
+    assert "audio_embeddings_proj" in sp

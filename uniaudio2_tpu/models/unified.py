@@ -35,7 +35,8 @@ from uniaudio2_tpu.config import GPTConfig, UnifiedModelConfig
 from uniaudio2_tpu.models import gpt
 from uniaudio2_tpu.ops.kv_cache import KVCache, init_cache
 from uniaudio2_tpu.ops.quant import (
-    QuantizedLinear, QuantizedLinear4, dequantize, dequantize4, matmul,
+    QuantizedLinear, QuantizedLinear4, QuantizedLinear4G, dequantize,
+    dequantize4, dequantize4_grouped, matmul,
 )
 from uniaudio2_tpu.ops.sampling import cfg_mix, sample_topk
 
@@ -119,6 +120,8 @@ def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
         w = dequantize(w, jnp.float32)
     elif isinstance(w, QuantizedLinear4):
         w = dequantize4(w, jnp.float32)
+    elif isinstance(w, QuantizedLinear4G):
+        w = dequantize4_grouped(w, jnp.float32)
 
     @jax.jit
     def fold(emb, w):
