@@ -129,7 +129,7 @@ def test_int4c_pallas_kernel_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-3)
 
 
-@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("bits", [8, 4, "4g"])
 def test_fused_swiglu_interpret_matches_unfused(bits):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -147,6 +147,13 @@ def test_fused_swiglu_interpret_matches_unfused(bits):
         d1 = quant.dequantize(q1, jnp.float32)
         d2 = quant.dequantize(q2, jnp.float32)
         d3 = quant.dequantize(q3, jnp.float32)
+    elif bits == "4g":
+        q1 = quant.quantize4_grouped(w1)
+        q2 = quant.quantize4_grouped(w2)
+        q3 = quant.quantize4_cols_grouped(w3)
+        d1 = quant.dequantize4_grouped(q1, jnp.float32)
+        d2 = quant.dequantize4_grouped(q2, jnp.float32)
+        d3 = quant.dequantize4_cols_grouped(q3, jnp.float32)
     else:
         q1, q2 = quant.quantize4(w1), quant.quantize4(w2)
         q3 = quant.quantize4_cols(w3)

@@ -30,18 +30,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from uniaudio2_tpu.ops.quant import (
-    QuantizedLinear, QuantizedLinear4, QuantizedLinearC4, _unpack4,
+    QuantizedLinear, QuantizedLinear4, QuantizedLinear4G, QuantizedLinearC4,
+    QuantizedLinearC4G, _scale_rows, _unpack4,
 )
 
 _VMEM_BUDGET = 6 * 2 ** 20  # per-block bytes cap (double-buffered by Mosaic)
 
 
 def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
-            o_ref, acc_ref, *, w12_int4: bool, w3_int4: bool):
+            o_ref, acc_ref, *, w12_int4: bool, w3_int4: bool,
+            w12_group: int = 0, w3_group: int = 0):
+    """``w12_group``/``w3_group`` > 0 switch the scale semantics to
+    group-wise (`QuantizedLinear4G` / `QuantizedLinearC4G`): s1/s2 blocks
+    are (G, bc) over the full K, the s3 block is (bc/group, 2, half) for
+    THIS chunk's rows (chunk-local scales — applied here, not at the final
+    write)."""
     c = pl.program_id(0)
     x = x_ref[:]                                    # (M, K) bf16/f32
 
     def gemv(w_ref, s_ref):
+        if w12_int4 and w12_group:
+            # grouped scales are multiplied into the weight tile (one VPU
+            # pass) so the contraction stays two big MXU matmuls — the
+            # looped per-group form measured ~15% slower end-to-end
+            lo, hi = _unpack4(w_ref[:], jnp.float32)  # (K/2, bc) each
+            k2 = lo.shape[0]
+            g2 = k2 // w12_group
+            s = s_ref[:].astype(jnp.float32)        # (2*g2, bc)
+            lo = _scale_rows(lo, s[:g2], w12_group).astype(x.dtype)
+            hi = _scale_rows(hi, s[g2:], w12_group).astype(x.dtype)
+            acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
+            acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
+            return acc                              # scales already applied
         if w12_int4:
             lo, hi = _unpack4(w_ref[:], x.dtype)    # (K/2, bc) each
             k2 = lo.shape[0]
@@ -57,7 +77,13 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     h = (jax.nn.silu(a) * b).astype(x.dtype)        # (M, bc)
 
     if w3_int4:
-        lo, hi = _unpack4(w3_ref[:], x.dtype)       # (bc, N/2) each
+        if w3_group:
+            lo, hi = _unpack4(w3_ref[:], jnp.float32)  # (bc, N/2) each
+            s3 = s3_ref[:].astype(jnp.float32)      # (bc/group, 2, half)
+            lo = _scale_rows(lo, s3[:, 0], w3_group).astype(x.dtype)
+            hi = _scale_rows(hi, s3[:, 1], w3_group).astype(x.dtype)
+        else:
+            lo, hi = _unpack4(w3_ref[:], x.dtype)   # (bc, N/2) each
         part = jnp.concatenate(
             [jnp.dot(h, lo, preferred_element_type=jnp.float32),
              jnp.dot(h, hi, preferred_element_type=jnp.float32)], axis=-1)
@@ -75,18 +101,23 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
 
     @pl.when(c == pl.num_programs(0) - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * s3_ref[:].astype(jnp.float32)
-                    ).astype(o_ref.dtype)
+        if w3_group:
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)  # scales already in
+        else:
+            o_ref[:] = (acc_ref[:] * s3_ref[:].astype(jnp.float32)
+                        ).astype(o_ref.dtype)
 
 
 def can_fuse(w1, w2, w3, x: jax.Array) -> bool:
     """Fusable: quantized weights, small M (decode steps; prefill's large-M
     matmuls are MXU-efficient unfused), aligned dims."""
-    if not isinstance(w1, (QuantizedLinear, QuantizedLinear4)):
+    if not isinstance(w1, (QuantizedLinear, QuantizedLinear4,
+                           QuantizedLinear4G)):
         return False
     if type(w1) is not type(w2):
         return False
-    if not isinstance(w3, (QuantizedLinear, QuantizedLinearC4)):
+    if not isinstance(w3, (QuantizedLinear, QuantizedLinearC4,
+                           QuantizedLinearC4G)):
         return False
     import math
 
@@ -100,32 +131,54 @@ def can_fuse(w1, w2, w3, x: jax.Array) -> bool:
         return False  # lane-padded I would index pad rows of W3
     if w3.values.shape[-2] != i:
         return False
+    if isinstance(w1, QuantizedLinear4G):
+        # nibble halves must align with whole scale groups
+        if (k // 2) % (k // w1.scale.shape[-2]):
+            return False
+    if isinstance(w3, QuantizedLinearC4G) and i % w3.scale.shape[-2]:
+        return False
     # chunking needs the intermediate dim to divide evenly
     return i % 256 == 0
 
 
 def fused_swiglu(
     x: jax.Array,
-    w1: Union[QuantizedLinear, QuantizedLinear4],
-    w2: Union[QuantizedLinear, QuantizedLinear4],
-    w3: Union[QuantizedLinear, QuantizedLinearC4],
+    w1: Union[QuantizedLinear, QuantizedLinear4, QuantizedLinear4G],
+    w2: Union[QuantizedLinear, QuantizedLinear4, QuantizedLinear4G],
+    w3: Union[QuantizedLinear, QuantizedLinearC4, QuantizedLinearC4G],
 ) -> jax.Array:
     """(..., K) -> (..., N) fused quantized SwiGLU (see module docstring)."""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    w12_int4 = isinstance(w1, QuantizedLinear4)
-    w3_int4 = isinstance(w3, QuantizedLinearC4)
+    w12_int4 = isinstance(w1, (QuantizedLinear4, QuantizedLinear4G))
+    w3_int4 = isinstance(w3, (QuantizedLinearC4, QuantizedLinearC4G))
+    w12_group = (k // w1.scale.shape[-2]
+                 if isinstance(w1, QuantizedLinear4G) else 0)
+    w3_grouped = isinstance(w3, QuantizedLinearC4G)
 
     i_true = w1.scale.shape[-1]          # == stored width (can_fuse checks)
     n_true = w3.scale.shape[-1]
     n_stored = w3.values.shape[-1]       # N (int8) or padded N/2 (int4)
+    w3_group = i_true // w3.scale.shape[-2] if w3_grouped else 0
 
     s1 = w1.scale
     s2 = w2.scale
     s3 = w3.scale
-    if w3_int4:
+    if w3_grouped:
+        # chunk-local scales: (G3, 2, half) — lo-column scales in [:, 0],
+        # hi-column in [:, 1]; the kernel applies them per chunk
+        half = n_stored
+        nh = n_true // 2
+        s3 = jnp.stack([
+            jnp.pad(s3[:, :nh], ((0, 0), (0, half - nh)),
+                    constant_values=1.0),
+            jnp.pad(s3[:, nh:], ((0, 0), (0, half - (n_true - nh))),
+                    constant_values=1.0),
+        ], axis=1)
+        out_width = 2 * half
+    elif w3_int4:
         # stored column layout: [cols 0..N/2) ++ pad] in the low nibbles,
         # [cols N/2..N) ++ pad] in the high nibbles -> out is (M, 2*half)
         half = n_stored
@@ -134,15 +187,17 @@ def fused_swiglu(
             jnp.pad(s3[: nh], ((0, half - nh),), constant_values=1.0),
             jnp.pad(s3[nh:], ((0, half - (n_true - nh)),),
                     constant_values=1.0),
-        ])
+        ]).reshape(1, -1)
         out_width = 2 * half
     else:
         out_width = n_stored
         if s3.shape[-1] != n_stored:
             s3 = jnp.pad(s3, ((0, n_stored - s3.shape[-1]),),
                          constant_values=1.0)
+        s3 = s3.reshape(1, -1)
 
-    # chunk width over I: as wide as the VMEM budget allows
+    # chunk width over I: as wide as the VMEM budget allows; must contain
+    # whole w3 scale groups when grouped (group=128 divides any bc here)
     bc = 512
     per_chunk = (k // (2 if w12_int4 else 1)) * 2 + n_stored  # bytes per I-row
     while bc > 128 and bc * per_chunk > _VMEM_BUDGET:
@@ -152,20 +207,31 @@ def fused_swiglu(
     grid = (i_true // bc,)
 
     kw = k // 2 if w12_int4 else k
-    kernel = functools.partial(_kernel, w12_int4=w12_int4, w3_int4=w3_int4)
+    s12_rows = s1.shape[-2] if w12_group else 1
+    s1_in = s1 if w12_group else s1.reshape(1, -1)
+    s2_in = s2 if w12_group else s2.reshape(1, -1)
+    if w3_grouped:
+        s3_spec = pl.BlockSpec((bc // w3_group, 2, n_stored),
+                               lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        s3_spec = pl.BlockSpec((1, out_width), lambda c: (0, 0),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, w12_int4=w12_int4, w3_int4=w3_int4,
+                               w12_group=w12_group, w3_group=w3_group)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, k), lambda c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, n_stored), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_width), lambda c: (0, 0),
-                         memory_space=pltpu.VMEM),
+            s3_spec,
         ],
         out_specs=pl.BlockSpec((m, out_width), lambda c: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -176,8 +242,7 @@ def fused_swiglu(
             bytes_accessed=2 * kw * i_true + i_true * n_stored,
             transcendentals=m * i_true,
         ),
-    )(x2, w1.values, s1.reshape(1, -1), w2.values, s2.reshape(1, -1),
-      w3.values, s3.reshape(1, -1))
+    )(x2, w1.values, s1_in, w2.values, s2_in, w3.values, s3)
 
     if w3_int4:
         half = n_stored

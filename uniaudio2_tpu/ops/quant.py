@@ -183,6 +183,58 @@ def quantize4_cols(w: jax.Array) -> QuantizedLinearC4:
     return QuantizedLinearC4(packed, scale[..., 0, :])
 
 
+class QuantizedLinearC4G(NamedTuple):
+    """Column-packed int4 with group-wise scales: the `QuantizedLinearC4`
+    layout (byte [k, n] holds columns n / n + N/2) with one scale per
+    ``group`` input rows per output column (``scale`` (G, N), G = K/group).
+    Used for the fused MLP's down-projection under grouped int4 — the
+    contraction axis stays chunkable in original row order AND whole
+    scale-groups land inside each chunk (group | chunk width)."""
+
+    values: jax.Array   # int8, (..., K, ceil(N/2) lane-padded)
+    scale: jax.Array    # f32,  (..., G, N)
+
+
+def quantize4_cols_grouped(w: jax.Array,
+                           group: int = INT4_GROUP) -> QuantizedLinearC4G:
+    """Symmetric int4, column-packed, per-(group, column) scales."""
+    wf = w.astype(jnp.float32)
+    k, n = wf.shape[-2:]
+    assert n % 2 == 0, "column int4 packing needs even N"
+    assert k % group == 0, "group must divide K"
+    lead = wf.shape[:-2]
+    g = k // group
+    wg = wf.reshape(*lead, g, group, n)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = amax / 7.0 + 1e-12
+    q = jnp.clip(jnp.round(wg / scale), -7, 7)
+    q = q.reshape(*lead, k, n).astype(jnp.int8)
+    lo = q[..., :, : n // 2]
+    hi = q[..., :, n // 2 :]
+    packed = jnp.bitwise_or(
+        jnp.left_shift(hi, 4), jnp.bitwise_and(lo, jnp.int8(0xF))
+    ).astype(jnp.int8)
+    half = packed.shape[-1]
+    align = 512 if half >= 512 else 128
+    if half % align:
+        pad = [(0, 0)] * (packed.ndim - 1) + [(0, align - half % align)]
+        packed = jnp.pad(packed, pad)
+    return QuantizedLinearC4G(packed, scale[..., 0, :])
+
+
+def dequantize4_cols_grouped(w: QuantizedLinearC4G,
+                             dtype=jnp.bfloat16) -> jax.Array:
+    g, n = w.scale.shape[-2:]
+    nh = n // 2
+    lo, hi = _unpack4(w.values, jnp.float32)
+    full = jnp.concatenate([lo[..., :nh], hi[..., : n - nh]], axis=-1)
+    k = full.shape[-2]
+    group = k // g
+    lead = full.shape[:-2]
+    full = full.reshape(*lead, g, group, n) * w.scale[..., :, None, :]
+    return full.reshape(*lead, k, n).astype(dtype)
+
+
 def _unpack4(v: jax.Array, dtype):
     """(..., K/2, N) packed int8 -> (lo, hi) halves in ``dtype``.
     Shifts run in int32 — Mosaic does not legalize int8 vector shifts
@@ -341,19 +393,27 @@ def _pallas_int4_matmul(
     return out[:m, :n_orig]
 
 
+def _scale_rows(w, s, group: int):
+    """(K2, N) tile * per-group row scales (K2/group, N) -> scaled tile.
+    The reshape splits sublanes only (lanes preserved) so Mosaic keeps it
+    register-local; multiplying scales into the weight tile costs one VPU
+    pass and lets the contraction stay a single MXU matmul instead of
+    K2/group small ones (the loop form measured ~15%% slower end-to-end)."""
+    k2, n = w.shape
+    scaled = w.reshape(k2 // group, group, n) * s[:, None, :]
+    return scaled.reshape(k2, n)
+
+
 def _int4g_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group: int):
     x = x_ref[:]                                      # (Mt, K) bf16
-    lo, hi = _unpack4(w_ref[:], x.dtype)              # (K/2, Nt) each
+    lo, hi = _unpack4(w_ref[:], jnp.float32)          # (K/2, Nt) each
     k2 = lo.shape[0]
     g2 = k2 // group
     s = s_ref[:].astype(jnp.float32)                  # (G, Nt), G = 2*g2
-    acc = jnp.zeros((x.shape[0], lo.shape[1]), jnp.float32)
-    for gi in range(g2):                              # static unroll
-        sl = slice(gi * group, (gi + 1) * group)
-        acc += jnp.dot(x[:, sl], lo[sl],
-                       preferred_element_type=jnp.float32) * s[gi]
-        acc += jnp.dot(x[:, k2 + gi * group: k2 + (gi + 1) * group],
-                       hi[sl], preferred_element_type=jnp.float32) * s[g2 + gi]
+    lo = _scale_rows(lo, s[:g2], group).astype(x.dtype)
+    hi = _scale_rows(hi, s[g2:], group).astype(x.dtype)
+    acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -470,6 +530,72 @@ def _pallas_int4c_matmul(
         [out[0, :m, :nh], out[1, :m, : n - nh]], axis=-1)
 
 
+def _int4cg_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group: int):
+    x = x_ref[:]                                      # (Mt, K)
+    lo, hi = _unpack4(w_ref[:], jnp.float32)          # (K, bc) each
+    s = s_ref[:].astype(jnp.float32)                  # (g, 2, bc)
+    lo = _scale_rows(lo, s[:, 0], group).astype(x.dtype)
+    hi = _scale_rows(hi, s[:, 1], group).astype(x.dtype)
+    al = jnp.dot(x, lo, preferred_element_type=jnp.float32)
+    ah = jnp.dot(x, hi, preferred_element_type=jnp.float32)
+    o_ref[:] = jnp.stack([al, ah], axis=0).astype(o_ref.dtype)
+
+
+def _pallas_int4cg_matmul(
+    x: jax.Array, values: jax.Array, scale: jax.Array,
+    *, block_n: int = 512, block_m: int = 128, out_dtype=None,
+) -> jax.Array:
+    """Grouped variant of `_pallas_int4c_matmul`: scale (G, N)."""
+    m, k = x.shape
+    k2, halfpad = values.shape
+    assert k == k2
+    g, n = scale.shape
+    group = k // g
+    nh = n // 2
+    s2 = jnp.stack([
+        jnp.pad(scale[:, :nh], ((0, 0), (0, halfpad - nh)),
+                constant_values=1.0),
+        jnp.pad(scale[:, nh:], ((0, 0), (0, halfpad - (n - nh))),
+                constant_values=1.0),
+    ], axis=1)                                        # (G, 2, halfpad)
+    block_n_ = block_n
+    while block_n_ > 128 and 4 * k * block_n_ > 4 * 2 ** 20:
+        block_n_ //= 2
+    bn = min(1 << (block_n_.bit_length() - 1), halfpad)
+    while halfpad % bn and bn > 128:
+        bn //= 2
+    if m <= block_m:
+        bm, mg = m, 1
+    else:
+        bm = block_m
+        mg = -(-m // bm)
+        if m % bm:
+            x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
+    grid = (mg, halfpad // bn)
+    out = pl.pallas_call(
+        functools.partial(_int4cg_matmul_kernel, group=group),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 2, bn), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, bm, bn), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, mg * bm, halfpad),
+                                       out_dtype or x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * k * halfpad,
+            bytes_accessed=k * halfpad + m * k * 2 + 2 * m * halfpad * 2,
+            transcendentals=0,
+        ),
+    )(x, values, s2)
+    return jnp.concatenate(
+        [out[0, :m, :nh], out[1, :m, : n - nh]], axis=-1)
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu" or any(
         d.platform == "tpu" for d in jax.devices()
@@ -535,6 +661,21 @@ def matmul(
             ).astype(x.dtype)
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
+    if isinstance(w, QuantizedLinearC4G):
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        x2 = x.reshape(-1, k)
+        group = k // w.scale.shape[-2]
+        if _use_pallas() and k % 128 == 0 and k % group == 0:
+            out = _pallas_int4cg_matmul(x2, w.values, w.scale,
+                                        out_dtype=out_dtype)
+        else:
+            wd = dequantize4_cols_grouped(w, x.dtype)
+            out = jnp.einsum(
+                "mk,kn->mn", x2, wd, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        out = out.reshape(*lead, -1)
+        return out.astype(out_dtype) if out_dtype else out
     if not isinstance(w, QuantizedLinear):
         out = jnp.einsum(
             "...k,kn->...n", x, w,
@@ -569,6 +710,8 @@ _quantize4_jit = jax.jit(quantize4, donate_argnums=(0,))
 _quantize4c_jit = jax.jit(quantize4_cols, donate_argnums=(0,))
 _quantize4g_jit = jax.jit(quantize4_grouped, donate_argnums=(0,),
                           static_argnums=(1,))
+_quantize4cg_jit = jax.jit(quantize4_cols_grouped, donate_argnums=(0,),
+                           static_argnums=(1,))
 
 
 def _q(w, donate: bool, bits=8, cols: bool = False):
@@ -577,7 +720,13 @@ def _q(w, donate: bool, bits=8, cols: bool = False):
     is 8, 4 (per-channel scales) or "4g" (group-wise scales — better
     accuracy, no fused-MLP path yet)."""
     if bits == "4g":
-        if w.shape[-2] % (2 * INT4_GROUP):
+        if cols:
+            if w.shape[-2] % INT4_GROUP:
+                bits = 4
+            else:
+                return _quantize4cg_jit(w, INT4_GROUP) if donate \
+                    else quantize4_cols_grouped(w)
+        elif w.shape[-2] % (2 * INT4_GROUP):
             bits = 4  # K not group-divisible: per-channel int4
         else:
             return _quantize4g_jit(w, INT4_GROUP) if donate \
@@ -605,7 +754,8 @@ def quantize_gpt_params(params, *, donate: bool = False, bits=8,
     for name in _GPT_QUANT_LEAVES:
         if name in layers:
             layers[name] = _q(layers[name], donate, bits,
-                              cols=bits == 4 and name == "mlp_proj_w")
+                              cols=bits in (4, "4g")
+                              and name == "mlp_proj_w")
     out["layers"] = layers
     if "lm_head_w" in out:
         out["lm_head_w"] = _q(out["lm_head_w"], donate,
