@@ -67,6 +67,22 @@ class GPTConfig:
     # `_prepare_transformer` (reference `model_new.py:111-115`).
     has_wte: bool = True
     has_lm_head: bool = True
+    # Gemma-family options (reference `config.py:70-93`, `lit_model.py:365-367,
+    # 483-500,516-531,806-811`). None of the shipped UniAudio configs set
+    # these, but the registry keeps the reference's full architecture surface.
+    attention_scores_scalar: Optional[int] = None
+    attention_logit_softcapping: Optional[float] = None
+    final_logit_softcapping: Optional[float] = None
+    sliding_window_size: Optional[int] = None
+    # per-layer flags (1 = window attention); tuple for hashability.
+    # Defaulted to all-1 when a window size is set (reference `config.py:130`).
+    sliding_window_indices: Optional[Tuple[int, ...]] = None
+    # Mixtral-style MoE MLP (reference `LLaMAMoE`, `lit_model.py:606-631`).
+    # Experts are stacked on a leading axis so expert parallelism is one
+    # sharding annotation (shard dim 0 over the mesh's model axis).
+    n_expert: int = 0
+    n_expert_per_token: int = 0
+    moe_intermediate_size: Optional[int] = None
 
     def __post_init__(self):
         if self.head_size is None:
@@ -81,6 +97,23 @@ class GPTConfig:
         assert self.n_head % self.n_query_groups == 0
         if self.intermediate_size is None:
             object.__setattr__(self, "intermediate_size", 4 * self.n_embd)
+        if self.sliding_window_size is not None:
+            if self.sliding_window_indices is None:
+                object.__setattr__(
+                    self, "sliding_window_indices", (1,) * self.n_layer
+                )
+            else:
+                object.__setattr__(
+                    self, "sliding_window_indices",
+                    tuple(self.sliding_window_indices),
+                )
+            assert len(self.sliding_window_indices) == self.n_layer
+        if self.n_expert:
+            assert 0 < self.n_expert_per_token <= self.n_expert
+            if self.moe_intermediate_size is None:
+                object.__setattr__(
+                    self, "moe_intermediate_size", self.intermediate_size
+                )
 
     @property
     def rope_n_elem(self) -> int:

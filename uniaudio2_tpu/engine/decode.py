@@ -601,7 +601,7 @@ class DecodeEngine:
                 last_h, caches = unified.decode_hidden(
                     params, cfg, tokens, mask, caches, pos
                 )
-                return gpt.lm_head(params["backbone"], last_h), caches
+                return gpt.lm_head(params["backbone"], last_h, cfg.backbone), caches
 
             def reorder_fn(caches, order):
                 return jax.tree_util.tree_map(

@@ -58,18 +58,25 @@ def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
     def normal(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
 
-    params: Params = {
-        "layers": {
-            "norm1_w": jnp.ones((n_l, d), dtype),
-            "qkv_w": normal(keys[0], (n_l, d, (h + 2 * g) * hd)),
-            "attn_proj_w": normal(keys[1], (n_l, h * hd, d)),
-            "norm2_w": jnp.ones((n_l, d), dtype),
-            "fc1_w": normal(keys[2], (n_l, d, i)),
-            "fc2_w": normal(keys[3], (n_l, d, i)),
-            "mlp_proj_w": normal(keys[4], (n_l, i, d)),
-        },
-        "ln_f_w": jnp.ones((d,), dtype),
+    layers: Params = {
+        "norm1_w": jnp.ones((n_l, d), dtype),
+        "qkv_w": normal(keys[0], (n_l, d, (h + 2 * g) * hd)),
+        "attn_proj_w": normal(keys[1], (n_l, h * hd, d)),
+        "norm2_w": jnp.ones((n_l, d), dtype),
     }
+    if cfg.n_expert:
+        # MoE MLP (reference `LLaMAMoE`, `lit_model.py:606-631`): experts
+        # stacked on axis 1 so expert parallelism is a dim-1 sharding.
+        e, mi = cfg.n_expert, cfg.moe_intermediate_size
+        layers["moe_gate_w"] = normal(keys[7], (n_l, d, e))
+        layers["fc1_w"] = normal(keys[2], (n_l, e, d, mi))
+        layers["fc2_w"] = normal(keys[3], (n_l, e, d, mi))
+        layers["mlp_proj_w"] = normal(keys[4], (n_l, e, mi, d))
+    else:
+        layers["fc1_w"] = normal(keys[2], (n_l, d, i))
+        layers["fc2_w"] = normal(keys[3], (n_l, d, i))
+        layers["mlp_proj_w"] = normal(keys[4], (n_l, i, d))
+    params: Params = {"layers": layers, "ln_f_w": jnp.ones((d,), dtype)}
     if cfg.has_wte:
         params["wte"] = normal(keys[5], (cfg.padded_vocab_size, d))
     if cfg.has_lm_head:
@@ -113,9 +120,19 @@ def embed(params: Params, tokens: jax.Array) -> jax.Array:
     return jnp.take(params["wte"], tokens, axis=0)
 
 
-def lm_head(params: Params, h: jax.Array) -> jax.Array:
-    """(..., D) -> (..., padded_vocab); f32 logits (weight may be int8)."""
-    return matmul(h, params["lm_head_w"], out_dtype=jnp.float32)
+def lm_head(
+    params: Params, h: jax.Array, cfg: Optional[GPTConfig] = None
+) -> jax.Array:
+    """(..., D) -> (..., padded_vocab); f32 logits (weight may be int8).
+
+    ``final_logit_softcapping`` is applied when configured. (The reference
+    carries the same config knob but its forward leaves the wrapper commented
+    out, `lit_model.py:168-180` — we apply it as the Gemma papers specify.)"""
+    logits = matmul(h, params["lm_head_w"], out_dtype=jnp.float32)
+    if cfg is not None and cfg.final_logit_softcapping is not None:
+        cap = cfg.final_logit_softcapping
+        logits = jnp.tanh(logits / cap) * cap
+    return logits
 
 
 def _qkv(
@@ -135,8 +152,8 @@ def _qkv(
     return q, k, v
 
 
-def _mlp(layer: Params, x: jax.Array) -> jax.Array:
-    """SwiGLU (reference `LLaMAMLP`, `lit_model.py:582-595`).
+def _mlp(layer: Params, x: jax.Array, cfg: GPTConfig) -> jax.Array:
+    """SwiGLU (reference `LLaMAMLP`, `lit_model.py:582-595`) or MoE.
 
     Quantized small-M steps (decode) route through the single fused Pallas
     kernel (`ops/fused_mlp.py`) — one weight-streaming pass instead of three
@@ -144,12 +161,52 @@ def _mlp(layer: Params, x: jax.Array) -> jax.Array:
     from uniaudio2_tpu.ops import fused_mlp
     from uniaudio2_tpu.ops.quant import _use_pallas
 
+    if "moe_gate_w" in layer:
+        return _moe_mlp(layer, x, cfg)
     w1, w2, w3 = layer["fc1_w"], layer["fc2_w"], layer["mlp_proj_w"]
     if _use_pallas() and fused_mlp.can_fuse(w1, w2, w3, x):
         return fused_mlp.fused_swiglu(x, w1, w2, w3)
     gate = matmul(x, w1)
     up = matmul(x, w2)
     return matmul(jax.nn.silu(gate) * up, w3)
+
+
+def _moe_mlp(layer: Params, x: jax.Array, cfg: GPTConfig) -> jax.Array:
+    """Mixtral-style top-k routed SwiGLU experts (reference `LLaMAMoE`,
+    `lit_model.py:606-631`), in dense-combine form: every expert runs on
+    every token and the routing weights zero out non-selected experts.
+
+    The reference gathers selected tokens per expert with `torch.where` —
+    data-dependent shapes that XLA cannot compile. Dense combine trades
+    n_expert/k extra MLP FLOPs for static shapes and one einsum per
+    projection over the stacked expert axis (which also makes expert
+    parallelism a dim-0 sharding of the expert stack). The right trade at
+    the reference's scale (its MoE configs are small and unused by shipped
+    checkpoints); a capacity-based gather kernel can replace it if a large
+    MoE config ever matters."""
+    router = jnp.einsum("...d,de->...e", x, layer["moe_gate_w"].astype(x.dtype))
+    probs, idx = jax.lax.top_k(router, cfg.n_expert_per_token)
+    probs = jax.nn.softmax(probs.astype(jnp.float32), axis=-1).astype(x.dtype)
+    gates = jnp.sum(
+        jax.nn.one_hot(idx, cfg.n_expert, dtype=x.dtype) * probs[..., None],
+        axis=-2,
+    )  # (..., E)
+    xw = x.astype(layer["fc1_w"].dtype)
+    g1 = jnp.einsum("...d,edi->...ei", xw, layer["fc1_w"])
+    g2 = jnp.einsum("...d,edi->...ei", xw, layer["fc2_w"])
+    h = jax.nn.silu(g1) * g2 * gates[..., None]
+    return jnp.einsum("...ei,eid->...d", h, layer["mlp_proj_w"]).astype(x.dtype)
+
+
+def _layer_windows(cfg: GPTConfig, bound: int):
+    """Per-layer sliding-window sizes, or None when the config has none.
+    Layers whose flag is 0 get ``bound`` (>= any sequence → full causal),
+    so a scanned stack can carry the window as a traced per-layer scalar
+    (reference `lit_model.py:365-367`)."""
+    if cfg.sliding_window_size is None:
+        return None
+    flags = jnp.asarray(cfg.sliding_window_indices, bool)
+    return jnp.where(flags, cfg.sliding_window_size, bound).astype(jnp.int32)
 
 
 def _rope_tables(cfg: GPTConfig, max_positions: int) -> Tuple[jax.Array, jax.Array]:
@@ -186,24 +243,29 @@ def forward(
         cos, sin = cos_t[:s], sin_t[:s]
     else:
         cos, sin = jnp.take(cos_t, positions, 0), jnp.take(sin_t, positions, 0)
-    scale = 1.0 / math.sqrt(cfg.head_size)
+    scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
+    softcap = cfg.attention_logit_softcapping
+    wins = _layer_windows(cfg, s)
 
-    def layer_fn(carry, layer):
+    def layer_fn(carry, inputs):
         xc = carry
+        layer, win = inputs if wins is not None else (inputs, None)
         hn = rms_norm(xc, layer["norm1_w"], cfg.norm_eps)
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
-        attn = causal_attention(q, k, v, scale=scale, extra_mask=extra_mask)
+        attn = causal_attention(q, k, v, scale=scale, extra_mask=extra_mask,
+                                logit_softcap=softcap, window=win)
         attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
-        xc = xc + _mlp(layer, hn)
+        xc = xc + _mlp(layer, hn, cfg)
         return xc, None
 
     if isinstance(params["layers"], list):  # unrolled serving form
-        for layer in params["layers"]:
-            x, _ = layer_fn(x, layer)
+        for i, layer in enumerate(params["layers"]):
+            x, _ = layer_fn(x, (layer, wins[i]) if wins is not None else layer)
     else:
-        x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+        xs = (params["layers"], wins) if wins is not None else params["layers"]
+        x, _ = jax.lax.scan(layer_fn, x, xs)
     return rms_norm(x, params["ln_f_w"], cfg.norm_eps)
 
 
@@ -229,31 +291,41 @@ def prefill(
     b, s, d = x.shape
     cos_t, sin_t = _rope_tables(cfg, cache.max_seq)
     cos, sin = cos_t[:s], sin_t[:s]
-    scale = 1.0 / math.sqrt(cfg.head_size)
+    scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
+    softcap = cfg.attention_logit_softcapping
+    wins = _layer_windows(cfg, s)
 
     def layer_fn(carry, inputs):
         xc = carry
-        layer, k_l, v_l = inputs
+        if wins is not None:
+            layer, k_l, v_l, win = inputs
+        else:
+            (layer, k_l, v_l), win = inputs, None
         hn = rms_norm(xc, layer["norm1_w"], cfg.norm_eps)
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
         k_l, v_l = update_layer(k_l, v_l, k, v, jnp.int32(0))
-        attn = causal_attention(q, k, v, scale=scale, extra_mask=extra_mask)
+        attn = causal_attention(q, k, v, scale=scale, extra_mask=extra_mask,
+                                logit_softcap=softcap, window=win)
         attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
-        xc = xc + _mlp(layer, hn)
+        xc = xc + _mlp(layer, hn, cfg)
         return xc, (k_l, v_l)
 
     if isinstance(params["layers"], list):  # unrolled serving form
         k_all, v_all = cache.k, cache.v
         for i, layer in enumerate(params["layers"]):
-            x, (k_l, v_l) = layer_fn(x, (layer, k_all[i], v_all[i]))
+            inputs = (layer, k_all[i], v_all[i])
+            if wins is not None:
+                inputs = inputs + (wins[i],)
+            x, (k_l, v_l) = layer_fn(x, inputs)
             k_all = k_all.at[i].set(k_l)
             v_all = v_all.at[i].set(v_l)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
-    x, (k_new, v_new) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v)
-    )
+    xs = (params["layers"], cache.k, cache.v)
+    if wins is not None:
+        xs = xs + (wins,)
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, xs)
     return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_new, v_new)
 
 
@@ -275,30 +347,40 @@ def decode_step(
     positions = pos + jnp.arange(t, dtype=jnp.int32)
     cos = jnp.take(cos_t, positions, axis=0)
     sin = jnp.take(sin_t, positions, axis=0)
-    scale = 1.0 / math.sqrt(cfg.head_size)
+    scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
+    softcap = cfg.attention_logit_softcapping
+    wins = _layer_windows(cfg, cache.max_seq)
 
     def layer_fn(carry, inputs):
         xc = carry
-        layer, k_l, v_l = inputs
+        if wins is not None:
+            layer, k_l, v_l, win = inputs
+        else:
+            (layer, k_l, v_l), win = inputs, None
         hn = rms_norm(xc, layer["norm1_w"], cfg.norm_eps)
         q, k, v = _qkv(layer, cfg, hn, cos, sin)
         k_l, v_l = update_layer(k_l, v_l, k, v, pos)
         attn = decode_attention(q, k_l, v_l, positions, scale=scale,
-                                key_valid=key_valid)
+                                key_valid=key_valid, logit_softcap=softcap,
+                                window=win)
         attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
         hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
-        xc = xc + _mlp(layer, hn)
+        xc = xc + _mlp(layer, hn, cfg)
         return xc, (k_l, v_l)
 
     if isinstance(params["layers"], list):  # unrolled serving form
         k_all, v_all = cache.k, cache.v
         for i, layer in enumerate(params["layers"]):
-            x, (k_l, v_l) = layer_fn(x, (layer, k_all[i], v_all[i]))
+            inputs = (layer, k_all[i], v_all[i])
+            if wins is not None:
+                inputs = inputs + (wins[i],)
+            x, (k_l, v_l) = layer_fn(x, inputs)
             k_all = k_all.at[i].set(k_l)
             v_all = v_all.at[i].set(v_l)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
-    x, (k_new, v_new) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v)
-    )
+    xs = (params["layers"], cache.k, cache.v)
+    if wins is not None:
+        xs = xs + (wins,)
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, xs)
     return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_new, v_new)

@@ -235,7 +235,7 @@ def forward(
         extra_mask=extra_mask,
     )
     h_final = h_gen * a_mask + h * t_mask
-    text_logits = gpt.lm_head(params["backbone"], h_final)
+    text_logits = gpt.lm_head(params["backbone"], h_final, cfg.backbone)
 
     audio_logits = _local_decoder_teacher_forced(params, cfg, h_final, labels)
     return text_logits, audio_logits
@@ -283,7 +283,7 @@ def forward_text(
     h = gpt.forward(params["backbone"], cfg.backbone, backbone_input)
     h_gen = gpt.forward(params["generation_expert"], cfg.generation_expert, h * a_mask)
     h_final = h_gen * a_mask + h * t_mask
-    return gpt.lm_head(params["backbone"], h_final)
+    return gpt.lm_head(params["backbone"], h_final, cfg.backbone)
 
 
 # ---------------------------------------------------------------------------
@@ -417,7 +417,7 @@ def decode_frame(
 
     key_text, key_audio = jax.random.split(key)
     if sample_text:
-        text_logits = gpt.lm_head(params["backbone"], last_h)  # (B, V_text)
+        text_logits = gpt.lm_head(params["backbone"], last_h, cfg.backbone)  # (B, V_text)
         if use_cfg:
             lg = text_logits.reshape(b // 2, 2, -1)
             mixed = cfg_mix(lg[:, 0], lg[:, 1], cfg_scale)

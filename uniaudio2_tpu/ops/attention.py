@@ -31,6 +31,13 @@ def _group_query_heads(q: jax.Array, n_groups: int) -> jax.Array:
     return q.reshape(b, n_groups, h // n_groups, t, hd)
 
 
+def _softcap(scores: jax.Array, cap: Optional[float]) -> jax.Array:
+    """Gemma-style logit softcapping (reference `lit_model.py:810-811`)."""
+    if cap is None:
+        return scores
+    return jnp.tanh(scores / cap) * cap
+
+
 def causal_attention(
     q: jax.Array,
     k: jax.Array,
@@ -38,6 +45,8 @@ def causal_attention(
     *,
     scale: Optional[float] = None,
     extra_mask: Optional[jax.Array] = None,
+    logit_softcap: Optional[float] = None,
+    window: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full-sequence causal GQA.
 
@@ -46,6 +55,12 @@ def causal_attention(
         extra_mask: optional (B, T, T) or (T, T) boolean, True = attend.
             Combined with the causal mask (prefix-LM support,
             reference `llm_utils/train_utils.py:246-286`).
+        logit_softcap: optional Gemma-style tanh cap applied to scores before
+            masking (reference `lit_model.py:519-521`).
+        window: optional sliding-window size (scalar; may be traced so a
+            scanned layer stack can switch windows per layer — window >= T
+            degenerates to full causal). Keys with q_pos - k_pos >= window
+            are masked (reference `lit_model.py:483-500`).
     Returns:
         (B, T, H*hd)
     """
@@ -57,7 +72,13 @@ def causal_attention(
     scores = jnp.einsum(
         "bgpth,bgsh->bgpts", qg, k, preferred_element_type=jnp.float32
     ) * scale
+    scores = _softcap(scores, logit_softcap)
     causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+    if window is not None:
+        idx = jnp.arange(t, dtype=jnp.int32)
+        causal = jnp.logical_and(
+            causal, idx[:, None] - idx[None, :] < window
+        )
     if extra_mask is None:
         mask = causal  # broadcasts over (B, G, P, T, S)
     elif extra_mask.ndim == 2:
@@ -78,6 +99,8 @@ def decode_attention(
     *,
     scale: Optional[float] = None,
     key_valid: Optional[jax.Array] = None,
+    logit_softcap: Optional[float] = None,
+    window: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Incremental GQA against a static-length cache.
 
@@ -89,6 +112,7 @@ def decode_attention(
             must never be attended (per-row prompt padding in batched
             decoding, where shorter rows carry garbage K/V between their true
             length and the shared bucket length).
+        logit_softcap / window: see `causal_attention`.
     Returns:
         (B, T, H*hd)
     """
@@ -100,8 +124,13 @@ def decode_attention(
     scores = jnp.einsum(
         "bgpth,bgsh->bgpts", qg, k_cache, preferred_element_type=jnp.float32
     ) * scale
+    scores = _softcap(scores, logit_softcap)
     key_idx = jnp.arange(s_max, dtype=jnp.int32)
     mask = key_idx[None, :] <= q_positions[:, None]  # (T, S_max)
+    if window is not None:
+        mask = jnp.logical_and(
+            mask, q_positions[:, None] - key_idx[None, :] < window
+        )
     if key_valid is not None:
         mask = jnp.logical_and(
             mask[None], key_valid[:, None, :]
