@@ -43,3 +43,40 @@ def test_sharded_decode_frame():
         lambda p, t, mm: unified.forward_text(p, cfg, t, mm)
     )(params, toks, msk)
     assert logits.shape == (2, 6, cfg.backbone.padded_vocab_size)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_moe_forward():
+    """Expert-parallel MoE: expert stacks sharded (E over tp, in-dim over
+    fsdp) run a forward + grad step on the mesh."""
+    from uniaudio2_tpu.config import GPTConfig
+    from uniaudio2_tpu.models import gpt
+
+    m = meshlib.build_mesh(fsdp=4, tp=2)
+    cfg = GPTConfig(
+        name="tiny-moe", block_size=64, vocab_size=96, padding_multiple=8,
+        n_layer=2, n_embd=32, n_head=4, n_query_groups=2,
+        intermediate_size=64, rope_adjustments=None,
+        n_expert=4, n_expert_per_token=2, moe_intermediate_size=64,
+    )
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    specs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: meshlib._gpt_param_spec(
+            tuple(p.key if hasattr(p, "key") else str(p) for p in path),
+            leaf, True,
+        ),
+        params,
+    )
+    params = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(m, s)), params, specs
+    )
+    x = jnp.ones((2, 6), jnp.int32)
+
+    def loss_fn(p):
+        h = gpt.forward(p, cfg, gpt.embed(p, x))
+        return jnp.mean(gpt.lm_head(p, h, cfg) ** 2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    g = grads["layers"]["fc1_w"]
+    assert g.shape == params["layers"]["fc1_w"].shape

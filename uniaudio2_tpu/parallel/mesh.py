@@ -91,7 +91,14 @@ def _gpt_param_spec(path: Tuple[str, ...], leaf: jax.Array, tp: bool) -> P:
         if name == "wte":
             return P("fsdp", "tp" if tp else None)
         return P("fsdp", "tp" if tp else None) if not tp else P("fsdp", "tp")
+    if leaf.ndim == 4:  # stacked MoE experts (L, E, in, out)
+        # expert parallelism: experts over tp, matrices over fsdp — each
+        # device computes its expert shard of the dense combine and the
+        # weighted sum all-reduces over tp (one psum XLA inserts itself)
+        return P(None, "tp" if tp else None, "fsdp", None)
     if leaf.ndim == 3:  # stacked per-layer matrices (L, in, out)
+        if name == "moe_gate_w":  # (L, D, E): router replicated over tp
+            return P(None, "fsdp", None)
         if name in ("qkv_w", "fc1_w", "fc2_w"):
             return P(None, "fsdp", "tp" if tp else None)  # column-parallel
         if name in ("attn_proj_w", "mlp_proj_w"):
