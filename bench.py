@@ -13,11 +13,15 @@ Metric: audio tokens/sec/chip (8 codebook tokens per frame), measured over a
 fixed 128-frame generation after a warmup run.
 
 Baseline: the reference publishes no numbers (BASELINE.md). ``vs_baseline``
-divides by an 80 tokens/s (=10 frames/s) estimate of the eager PyTorch
-reference on an A100-class chip: per frame it launches a 28-layer 3B
-incremental step plus 8 *sequential* 4-layer local-decoder module calls and
-a host-synchronised sampling round trip (9+ eager dispatch chains/frame).
-The BASELINE.json target is >2x, i.e. vs_baseline > 2.0.
+divides by a 200 tokens/s (=25 frames/s) estimate of the eager PyTorch
+reference on an A100-class chip, taken at the *generous-to-the-reference*
+end of the derivation in `scripts/baseline_estimate.py`: the reference's
+eager frame must stream ~11.7 GB of bf16 weights (backbone+experts+heads
+once, the local decoder 8x) => 1091 tok/s A100 HBM roofline even for a
+perfect implementation; eager HF-style batch-1 3B decode lands 6-10x off
+roofline on public anchors, and the reference's frame runs 9 sequential
+host-driven module chains — 200 tok/s assumes it still reaches 25% of
+roofline. The BASELINE.json target is >2x, i.e. vs_baseline > 2.0.
 
 Serving config: weight-only quantization with the unrolled per-layer
 weight layout (`prepare_serving_params`) is ON by default at int4
@@ -56,7 +60,7 @@ from uniaudio2_tpu.engine.decode import DecodeEngine
 from uniaudio2_tpu.engine import tasks as taskmod
 from uniaudio2_tpu.models import unified
 
-BASELINE_AUDIO_TOKENS_PER_S = 80.0
+BASELINE_AUDIO_TOKENS_PER_S = 200.0  # scripts/baseline_estimate.py
 BENCH_FRAMES = 128
 
 
