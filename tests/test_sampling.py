@@ -1,0 +1,66 @@
+"""Sampling kernels: distribution correctness of the top-k Gumbel path
+(mirrors the reference's inline self-test, `llm_utils/sampling.py:156-174`)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uniaudio2_tpu.ops.sampling import sample_topk, sample_topp
+
+
+def _empirical(fn, n=4000):
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    toks = jax.vmap(fn)(keys)
+    return np.bincount(np.asarray(toks), minlength=16) / n
+
+
+def test_sample_topk_distribution():
+    vocab, k, temp = 16, 4, 0.8
+    logits = jnp.asarray(np.linspace(0.0, 3.0, vocab), jnp.float32)
+    freq = _empirical(lambda key: sample_topk(key, logits, k, temp))
+    scaled = np.asarray(logits, np.float64) / temp
+    top = np.argsort(scaled)[-k:]
+    p = np.zeros(vocab)
+    p[top] = np.exp(scaled[top] - scaled[top].max())
+    p /= p.sum()
+    assert freq[: vocab - k].sum() == 0.0  # below-k never sampled
+    np.testing.assert_allclose(freq, p, atol=0.03)
+
+
+def test_sample_topk_forbid_prefix():
+    vocab = 16
+    logits = jnp.zeros((vocab,), jnp.float32)
+    freq = _empirical(
+        lambda key: sample_topk(key, logits, 12, 1.0,
+                                forbid_prefix=jnp.int32(8)),
+        n=800,
+    )
+    assert freq[:8].sum() == 0.0
+    assert freq[8:].sum() > 0.99
+
+
+def test_sample_topk_greedy_and_full():
+    logits = jnp.asarray([0.1, 2.0, -1.0, 0.5], jnp.float32)
+    assert int(sample_topk(jax.random.PRNGKey(0), logits, 1, 1.0)) == 1
+    # topk >= vocab degenerates to full sampling; argmax token dominates at
+    # low temperature
+    tok = sample_topk(jax.random.PRNGKey(1), logits, 10, 0.05)
+    assert int(tok) == 1
+
+
+def test_sample_topk_batched_rows():
+    logits = jnp.stack([
+        jnp.asarray([10.0, 0.0, 0.0, 0.0], jnp.float32),
+        jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float32),
+    ])
+    toks = sample_topk(jax.random.PRNGKey(2), logits, 2, 0.1)
+    assert toks.shape == (2,)
+    assert int(toks[0]) == 0 and int(toks[1]) == 3
+
+
+def test_sample_topp_nucleus():
+    logits = jnp.asarray([5.0, 4.0, -10.0, -10.0], jnp.float32)
+    freq = _empirical(
+        lambda key: sample_topp(key, logits, 0.9, 1.0), n=800
+    )
+    assert freq[2:4].sum() == 0.0

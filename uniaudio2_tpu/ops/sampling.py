@@ -45,12 +45,27 @@ def sample_topk(
     topk: int,
     temperature: float,
     forbid_prefix: Optional[jax.Array] = None,
+    approx: bool = False,
 ) -> jax.Array:
     """Sample one token id per row from top-k(logits / temperature).
 
     Equivalent in distribution to the reference `sample_topk` /
     `audio_sample_topk` (`model_new.py:146-187`). ``topk`` and ``temperature``
     are static; ``forbid_prefix`` may be a traced int scalar.
+
+    Implementation: Gumbel-max *within the top-k candidate set* — top_k
+    returns (values, indices), a k-wide Gumbel perturbs the values, and the
+    winner's index is gathered. Distribution-identical to masking the full
+    vector and taking a vocab-wide Gumbel argmax, but ~4x faster in the
+    decode loop (measured 521 -> 135 us/call at vocab 12300, k 200:
+    `scripts/profile_sampling.py`) since the Gumbel draw and argmax shrink
+    from vocab-wide to k-wide.
+
+    ``approx=True`` swaps `lax.top_k` for TPU-native `lax.approx_max_k`
+    (recall 0.95; another ~1.7x). Near-threshold candidates may be swapped
+    for slightly-smaller logits — a total-variation error below ~1e-3 at
+    serving temperatures — so it is opt-in for throughput-critical serving,
+    never default.
 
     Args:
         logits: ``(..., vocab)`` float array.
@@ -63,9 +78,18 @@ def sample_topk(
     if topk == 1:
         # Greedy path: bit-identical to the reference's argmax over logits.
         return jnp.argmax(scaled, axis=-1).astype(jnp.int32)
-    scaled = _mask_below_topk(scaled, topk)
-    gumbel = jax.random.gumbel(key, scaled.shape, dtype=jnp.float32)
-    return jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+    if topk <= 0 or topk >= scaled.shape[-1]:
+        gumbel = jax.random.gumbel(key, scaled.shape, dtype=jnp.float32)
+        return jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+    if approx:
+        vals, idxs = jax.lax.approx_max_k(scaled, topk, recall_target=0.95)
+    else:
+        vals, idxs = jax.lax.top_k(scaled, topk)
+    gumbel = jax.random.gumbel(key, vals.shape, dtype=jnp.float32)
+    choice = jnp.argmax(vals + gumbel, axis=-1)
+    return jnp.take_along_axis(
+        idxs, choice[..., None], axis=-1
+    )[..., 0].astype(jnp.int32)
 
 
 def sample_topp(
