@@ -1,4 +1,5 @@
-"""Fused single-token attention decode step (Pallas, TPU).
+"""Fused single-token attention decode step (Pallas, TPU) — EXPERIMENTAL,
+off by default (`UA2_FUSED_ATTN_STEP=1` to enable).
 
 One kernel per transformer layer per decode step replaces the composed
 rmsnorm -> quantized-QKV matmul -> RoPE -> KV-cache write -> masked GQA
@@ -10,6 +11,16 @@ work is microseconds (profiling: the 4-layer local decoder costs
 backbone step 3.2 ms against 2.0 ms — scripts/profile_frame_parts.py).
 Fusing collapses a layer's decode step to 3 kernels (this one + proj
 matmul + fused SwiGLU) and keeps every intermediate in VMEM.
+
+Measured verdict so far (scripts/tpu_fused_attn_smoke.py, v5e): numerics
+match (rel err ~1%, bf16 rounding), but the per-group attention-loop
+variant ran ~8% SLOWER than the composed chain (backbone 180 vs 166
+us/step) — the in-kernel small-matmul attention does not beat XLA's
+batched einsums, i.e. the composed chain's cost is not primarily kernel
+launch overhead. A batched-dot_general variant is in-tree (correct under
+interpret mode) but its Mosaic compile hung the remote TPU toolchain
+twice, so it stays opt-in until revalidated on a local chip. Keep OFF in
+production.
 
 Scope (gated by `can_fuse_step`):
   * batch 1, one new token (the compiled while-loop serving path);
@@ -116,26 +127,25 @@ def _kernel(
     v_out_ref[:] = vc
 
     # masked GQA attention over the cache (ops/attention.py::decode_attention)
+    # — one batched dot_general over the group axis (a per-group loop of
+    # (pq, hd) x (hd, S) matmuls measured ~8x slower: tiny-M MXU passes)
     kcf = kc.astype(x.dtype)
     vcf = vc.astype(x.dtype)
-    qb = q.astype(x.dtype)
-    pq = h // g
-    key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s_len), 1)
-    valid = key_idx <= pos                          # (1, S)
-    outs = []
-    for gi in range(g):
-        qg = qb[gi * pq : (gi + 1) * pq]            # (pq, hd)
-        scores = jax.lax.dot_general(
-            qg, kcf[gi], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                   # (pq, S)
-        scores = jnp.where(valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p.astype(x.dtype), vcf[gi],
-                            preferred_element_type=jnp.float32))
-    attn = jnp.concatenate(outs, axis=0)            # (H, hd) f32
+    qg3 = q.astype(x.dtype).reshape(g, h // g, hd)  # (G, pq, hd)
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_len), 2)
+    valid = key_idx <= pos                          # (1, 1, S)
+    scores = jax.lax.dot_general(
+        qg3, kcf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                       # (G, pq, S)
+    scores = jnp.where(valid, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    attn = jax.lax.dot_general(
+        p.astype(x.dtype), vcf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # (G, pq, hd) f32
     attn_ref[:] = attn.reshape(1, h * hd).astype(attn_ref.dtype)
 
 
