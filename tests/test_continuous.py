@@ -1,0 +1,98 @@
+"""Continuous batching: a request admitted into a RUNNING batch must
+produce token-identical greedy output to the same request decoded alone
+(the refill writes a left-packed prompt at the current shared position —
+RoPE relative-shift invariance makes the geometry exact)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uniaudio2_tpu.config import UnifiedModelConfig
+from uniaudio2_tpu.engine import tasks
+from uniaudio2_tpu.engine.continuous import ContinuousEngine
+from uniaudio2_tpu.engine.decode import DecodeEngine
+from uniaudio2_tpu.models import unified
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    ref = DecodeEngine(params, cfg, max_frames=8,
+                       cache_dtype=jnp.float32, buckets=(32,))
+    return cfg, params, ref
+
+
+def _requests(ts, n):
+    reqs = []
+    for i in range(n):
+        prompt = (np.arange(1, 4 + (i % 3)) * 5 + i) % 50
+        text = (np.arange(2, 8) * 3 + i) % 50
+        reqs.append(tasks.prepare_tts(prompt, text, ts))
+    return reqs
+
+
+def test_text_staggered_matches_unbatched(setup):
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 5)
+    expected = [np.asarray(ref.generate_text(g, m, topk=1)) for g, m in reqs]
+
+    ce = ContinuousEngine(
+        params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+        cache_len=256, max_frames=8, topk=1, cache_dtype=jnp.float32,
+    )
+    rids = [ce.submit(g, m) for g, m in reqs]
+    results = ce.run_until_drained()
+    assert set(results) == set(rids)
+    for rid, exp in zip(rids, expected):
+        np.testing.assert_array_equal(results[rid], exp)
+    # 5 requests through 2 rows forces refills into a RUNNING batch
+    assert ce.stats["refills"] == 5
+    assert ce.stats["segments"] >= 2
+
+
+def test_audio_staggered_matches_unbatched(setup):
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 3)
+    expected = [ref.generate_audio(g, m, topk=1) for g, m in reqs]
+
+    ce = ContinuousEngine(
+        params, cfg, mode="audio", rows=2, bucket=32, seg_frames=4,
+        cache_len=256, max_frames=8, topk=1, cache_dtype=jnp.float32,
+    )
+    rids = [ce.submit(g, m) for g, m in reqs]
+    results = ce.run_until_drained()
+    for rid, (er, es) in zip(rids, expected):
+        rr, rs = results[rid]
+        np.testing.assert_array_equal(rr, np.asarray(er))
+        np.testing.assert_array_equal(rs, np.asarray(es))
+
+
+def test_cache_budget_reset(setup):
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 3)
+    expected = [np.asarray(ref.generate_text(g, m, topk=1))[:8]
+                for g, m in reqs]
+    # budget: cache 64, bucket 32 -> 31 frames headroom; 16-frame budget
+    # requests exhaust it after one wave -> scheduler must reset
+    ce = ContinuousEngine(
+        params, cfg, mode="text", rows=1, bucket=32, seg_frames=4,
+        cache_len=64, max_frames=8, topk=1, cache_dtype=jnp.float32,
+        seed=888,
+    )
+    rids = [ce.submit(g, m, max_frames=16) for g, m in reqs]
+    results = ce.run_until_drained()
+    for rid, exp in zip(rids, expected):
+        np.testing.assert_array_equal(results[rid][:8], exp)
+    assert ce.stats["resets"] >= 1
+
+
+def test_submit_rejects_unservable(setup):
+    cfg, params, _ = setup
+    ce = ContinuousEngine(params, cfg, mode="text", rows=1, bucket=32,
+                          cache_len=64, cache_dtype=jnp.float32)
+    g, m = _requests(cfg.tokens, 1)[0]
+    with pytest.raises(AssertionError):
+        ce.submit(g, m, max_frames=64)
