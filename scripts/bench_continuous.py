@@ -33,7 +33,7 @@ from uniaudio2_tpu.models import unified
 from uniaudio2_tpu.ops import quant
 
 ROWS = 8
-N_REQ = 16
+N_REQ = int(os.environ.get("UA2_NREQ", "16"))
 MIN_LEN, MAX_LEN = 24, 160
 BUCKET = 64
 
@@ -64,9 +64,10 @@ def main():
         reqs.append(taskmod.prepare_tts(prompt, text, ts))
 
     # ---- continuous arm ----
+    seg = int(os.environ.get("UA2_SEG_FRAMES", "16"))
     ce = ContinuousEngine(
         params, cfg, mode="text", rows=ROWS, bucket=BUCKET,
-        seg_frames=16, cache_len=512, max_frames=int(MAX_LEN),
+        seg_frames=seg, cache_len=512, max_frames=int(MAX_LEN),
         topk=50, temperature=0.9,
         cache_dtype=jnp.float32 if scale == "tiny" else jnp.bfloat16,
     )
@@ -80,10 +81,11 @@ def main():
     dt_cont = time.perf_counter() - t0
     assert len(res) == N_REQ
 
-    # ---- static arm: batches of ROWS, each to its own longest ----
+    # ---- static arm: length-GROUPED batches of ROWS (best practice for
+    # static batching), each run to its own longest ----
     total_frames = 0
-    groups = [list(range(i, min(i + ROWS, N_REQ)))
-              for i in range(0, N_REQ, ROWS)]
+    by_len = sorted(range(N_REQ), key=lambda j: lengths[j])
+    groups = [by_len[i : i + ROWS] for i in range(0, N_REQ, ROWS)]
     engines = {}
     for grp in groups:
         mf = int(max(lengths[j] for j in grp))
@@ -102,16 +104,28 @@ def main():
         total_frames += mf * len(grp)
     dt_stat = time.perf_counter() - t0
 
+    # ---- offline in-graph arm: scheduling fully inside one dispatch ----
+    offline_reqs = [(g, m, int(L)) for (g, m), L in zip(reqs, lengths)]
+    ce.run_offline(offline_reqs)  # compile + warmup
+    t0 = time.perf_counter()
+    res_off = ce.run_offline(offline_reqs)
+    dt_off = time.perf_counter() - t0
+    assert len(res_off) == N_REQ
+
     useful = int(np.sum(lengths))
     print(json.dumps({
         "metric": "continuous_vs_static_batching",
+        "seg_frames": seg,
         "requests": N_REQ, "rows": ROWS,
         "useful_frames": useful,
         "continuous_s": round(dt_cont, 3),
+        "offline_s": round(dt_off, 3),
         "static_s": round(dt_stat, 3),
         "continuous_frames_per_s": round(useful / dt_cont, 1),
+        "offline_frames_per_s": round(useful / dt_off, 1),
         "static_frames_per_s": round(useful / dt_stat, 1),
-        "speedup": round(dt_stat / dt_cont, 3),
+        "speedup_online": round(dt_stat / dt_cont, 3),
+        "speedup_offline": round(dt_stat / dt_off, 3),
     }))
 
 

@@ -96,3 +96,36 @@ def test_submit_rejects_unservable(setup):
     g, m = _requests(cfg.tokens, 1)[0]
     with pytest.raises(AssertionError):
         ce.submit(g, m, max_frames=64)
+
+
+def test_offline_in_graph_matches_unbatched(setup):
+    """The fully in-graph offline path (refill-on-completion inside the
+    while_loop, one dispatch) matches isolated greedy decode, including a
+    mid-run in-graph position reset."""
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 6)
+    expected = [np.asarray(ref.generate_text(g, m, topk=1)) for g, m in reqs]
+
+    ce = ContinuousEngine(
+        params, cfg, mode="text", rows=2, bucket=32, cache_len=80,
+        max_frames=8, topk=1, cache_dtype=jnp.float32,
+    )
+    # per-request caps sized so the 80-slot cache forces in-graph resets
+    results = ce.run_offline([(g, m, 8) for g, m in reqs])
+    assert len(results) == 6
+    for got, exp in zip(results, expected):
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_offline_audio_mode(setup):
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 3)
+    expected = [ref.generate_audio(g, m, topk=1) for g, m in reqs]
+    ce = ContinuousEngine(
+        params, cfg, mode="audio", rows=2, bucket=32, cache_len=256,
+        max_frames=8, topk=1, cache_dtype=jnp.float32,
+    )
+    results = ce.run_offline([(g, m, 8) for g, m in reqs])
+    for (rr, rs), (er, es) in zip(results, expected):
+        np.testing.assert_array_equal(rr, np.asarray(er))
+        np.testing.assert_array_equal(rs, np.asarray(es))

@@ -5,22 +5,26 @@ fixed request set to completion — short rows idle while the longest row
 finishes. This module adds iteration-level scheduling (the vLLM-class
 serving discipline) on top of the same compiled-loop design:
 
-* the decode loop runs in fixed-size SEGMENTS (`seg_frames` frames per
-  compiled call) over a B-row batch with per-row two-phase/EOS state;
-* between segments the host harvests finished rows and REFILLS empty
-  slots with queued requests — a refill writes the new prompt's K/V so
-  the prompt ENDS at the current shared decode position (left-packed:
-  RoPE is relative, so ending the prompt at slot ``pos-1`` reproduces
-  batch-start geometry exactly), and flips that row's ``valid_from``
-  cache mask;
-* when every slot drains, the shared position resets to the prompt
-  bucket (cache slots are a bounded budget; admission requires
-  ``remaining frames >= request.max_frames``).
+* the decode loop runs in SEGMENTS (`seg_frames` frames per compiled
+  call) over a B-row batch with per-row two-phase/EOS/budget state;
+* refills are FUSED into the segment program: up to B queued prompts are
+  written into freed rows in a `lax.cond`-guarded prologue, then the
+  segment decodes — one host dispatch per boundary. A refill writes the
+  new prompt's K/V so the prompt ENDS at the current shared decode
+  position (left-packed: RoPE is relative, so ending the prompt at the
+  current position reproduces batch-start geometry exactly) and flips the
+  row's ``valid_from`` cache mask;
+* once the queue is empty the host issues ONE `drain` call — a
+  `while_loop` that decodes until every row hits EOS / its frame budget /
+  the cache end — so the tail costs a single dispatch (host round trips
+  through the remote-TPU tunnel cost ~60 ms each; see
+  `scripts/bench_continuous.py`);
+* when every slot drains and queued work remains unadmittable, the
+  shared position resets to the prompt bucket (cache slots are a bounded
+  budget; admission requires ``remaining frames >= request.max_frames``).
 
-Everything device-side is two jitted programs per (mode, sampling)
-configuration — `segment` (K decode frames, state in/state out) and
-`refill` (one row's offset prefill + state splice) — so the host never
-touches the hot loop; it only schedules between segment boundaries.
+All per-frame outputs leave the device as ONE packed int32 slab
+(B, K, ncb+3): [text, audio x ncb, phase, done] — one transfer per call.
 
 Correctness invariant (tested): a request admitted into a running batch
 produces token-identical greedy output to the same request decoded alone.
@@ -34,9 +38,8 @@ program (requests wanting different temperature/topk go to different
 from __future__ import annotations
 
 import queue
-import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -61,165 +64,323 @@ class SlotState(NamedTuple):
     is_reason: jax.Array       # (B,) bool
     forbid_prefix: jax.Array   # (B,) i32
     valid_from: jax.Array      # (B,) i32 — first valid cache slot per row
+    stop_at: jax.Array         # (B,) i32 — force-finish position (budget)
     key: jax.Array
     caches: UnifiedCaches
 
 
-def _build_segment(cfg: UnifiedModelConfig, *, mode: str, seg_frames: int,
-                   temperature: float, topk: int):
-    """K decode frames over the batch; returns per-frame outputs + state.
+def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
+                row: jax.Array, grid: jax.Array, grid_mask: jax.Array,
+                length: jax.Array, max_frames: jax.Array,
+                bucket: int) -> SlotState:
+    """Write one queued request's prompt into ``row``. Grid slot i maps to
+    position start+i with the LAST real token (slot bucket-1) landing at
+    s.pos — it is fed as the first frame input there by the decode loop,
+    mirroring the static batched start (grid[:, -1:] fed at slot bucket-1,
+    decode.py:283,308)."""
+    start = s.pos - jnp.int32(bucket - 1)   # position of grid slot 0
+    cache_len = s.caches.backbone.k.shape[3]
+    slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
+    valid_from_row = s.pos - length + 1     # first real-token position
+    key_valid_row = (slot_idx[None, :] >= valid_from_row)[..., :]
 
-    Inactive rows still flow through the model (static shapes) but their
-    K/V never becomes valid for themselves (valid_from stays at cache_len)
-    and their outputs are masked to -1 / dropped."""
+    def slice_cache(c):
+        return UnifiedCaches(*[
+            type(k)(
+                jax.lax.dynamic_slice_in_dim(k.k, row, 1, axis=1),
+                jax.lax.dynamic_slice_in_dim(k.v, row, 1, axis=1),
+            ) for k in c
+        ])
+
+    def splice_cache(full, part):
+        return UnifiedCaches(*[
+            type(f)(
+                jax.lax.dynamic_update_slice_in_dim(f.k, p.k, row, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(f.v, p.v, row, axis=1),
+            ) for f, p in zip(full, part)
+        ])
+
+    row_caches = slice_cache(s.caches)
+    # run the bucket-1 prompt prefix through the decode path at offset
+    # positions [start, start+bucket-1); causal masking keeps pad slots
+    # from contaminating real ones, and key_valid hides them after
+    _, row_caches = unified.decode_hidden(
+        params, cfg, grid[:, :-1], grid_mask[:, :-1], row_caches,
+        start, key_valid=key_valid_row,
+    )
+    caches = splice_cache(s.caches, row_caches)
+
+    def set_row(a, v):
+        return jax.lax.dynamic_update_slice_in_dim(
+            a, jnp.asarray(v, a.dtype)[None], row, axis=0)
+
+    return s._replace(
+        caches=caches,
+        active=set_row(s.active, True),
+        frame_tokens=jax.lax.dynamic_update_slice_in_dim(
+            s.frame_tokens, grid[:, -1:], row, axis=0),
+        frame_mask=jax.lax.dynamic_update_slice_in_dim(
+            s.frame_mask, grid_mask[:, -1:], row, axis=0),
+        is_reason=set_row(s.is_reason, True),
+        forbid_prefix=set_row(s.forbid_prefix, 0),
+        valid_from=set_row(s.valid_from, valid_from_row),
+        stop_at=set_row(s.stop_at, s.pos + max_frames),
+    )
+
+
+def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
+                     temperature: float, topk: int):
+    """One decode frame over the batch -> (state, per-row packed outputs
+    (B, ncb+3) int32: [text, audio x ncb, phase, done])."""
     ts = cfg.tokens
     ncb = ts.num_codebooks
 
-    def segment(params: Params, s: SlotState):
-        cache_len = s.caches.backbone.k.shape[3]
+    def frame_body(params: Params, s: SlotState, slot_idx: jax.Array):
         b = s.active.shape[0]
+        key, sub = jax.random.split(s.key)
+        key_valid = slot_idx[None, :] >= s.valid_from[:, None]
+        frame, caches = unified.decode_frame(
+            params, cfg, s.frame_tokens, s.frame_mask, s.caches, s.pos,
+            sub, temperature=temperature, topk=topk,
+            forbid_prefix=s.forbid_prefix[:, None],
+            key_valid=key_valid,
+            sample_text=mode == "text", sample_audio=mode == "audio",
+        )
+        text_tok = frame[:, 0]
+        audio_toks = frame[:, 1:]
+        cap_hit = s.pos + 1 >= s.stop_at        # (B,) budget exhausted
+
+        if mode == "text":
+            eos_now = text_tok == ts.text_eos
+            done_now = s.active & (eos_now | cap_hit)
+            active = s.active & ~done_now
+            emit = jnp.where(s.active & ~eos_now, text_tok, -1)
+            fb_tokens = jnp.concatenate(
+                [jnp.zeros((b, ncb), jnp.int32), text_tok[:, None]], 1
+            )[:, None, :]
+            fb_mask = jnp.concatenate(
+                [jnp.zeros((b, ncb), bool), jnp.ones((b, 1), bool)], 1
+            )[:, None, :]
+            packed = jnp.concatenate([
+                emit[:, None], jnp.zeros((b, ncb), jnp.int32),
+                jnp.full((b, 1), PHASE_DROPPED, jnp.int32),
+                done_now[:, None].astype(jnp.int32),
+            ], axis=1)
+            new = s._replace(
+                pos=s.pos + 1, active=active, frame_tokens=fb_tokens,
+                frame_mask=fb_mask, key=key, caches=caches,
+            )
+            return new, packed
+
+        sem_eos = jnp.all(
+            audio_toks == (ts.semantic_eos + ts.audio_reason_card), axis=1
+        )
+        reason_eos_frame = jnp.all(audio_toks == ts.reason_eos, axis=1)
+        switch = s.is_reason & reason_eos_frame
+        done_now = s.active & (sem_eos | cap_hit)
+        active = s.active & ~done_now
+        save_now = s.active & ~switch & ~sem_eos
+        new_is_reason = s.is_reason & ~switch
+        phase = jnp.where(
+            save_now,
+            jnp.where(new_is_reason, PHASE_REASON, PHASE_SEMANTIC),
+            PHASE_DROPPED,
+        )
+        new_forbid = jnp.where(
+            switch, jnp.int32(ts.audio_reason_card), s.forbid_prefix
+        )
+        fb_tokens = jnp.concatenate(
+            [audio_toks, text_tok[:, None]], 1)[:, None, :]
+        fb_mask = jnp.concatenate(
+            [jnp.ones((b, ncb), bool), jnp.zeros((b, 1), bool)], 1
+        )[:, None, :]
+        packed = jnp.concatenate([
+            jnp.where(s.active, text_tok, -1)[:, None], audio_toks,
+            phase[:, None], done_now[:, None].astype(jnp.int32),
+        ], axis=1)
+        new = s._replace(
+            pos=s.pos + 1, active=active, frame_tokens=fb_tokens,
+            frame_mask=fb_mask, is_reason=new_is_reason,
+            forbid_prefix=new_forbid, key=key, caches=caches,
+        )
+        return new, packed
+
+    return frame_body
+
+
+def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
+                   seg_frames: int, temperature: float, topk: int):
+    """Fused refill prologue + K decode frames. ``r_rows[i] < 0`` marks an
+    unused refill lane (the `lax.cond` skips its prefill entirely)."""
+    frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
+                                  topk=topk)
+
+    def segment(params: Params, s: SlotState, r_rows: jax.Array,
+                r_grids: jax.Array, r_masks: jax.Array, r_lens: jax.Array,
+                r_caps: jax.Array):
+        cache_len = s.caches.backbone.k.shape[3]
         slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
+        n_lanes = r_rows.shape[0]
+
+        def apply(i, s):
+            return jax.lax.cond(
+                r_rows[i] >= 0,
+                lambda s: _refill_one(
+                    params, cfg, s, jnp.maximum(r_rows[i], 0),
+                    jax.lax.dynamic_slice_in_dim(r_grids, i, 1, axis=0),
+                    jax.lax.dynamic_slice_in_dim(r_masks, i, 1, axis=0),
+                    r_lens[i], r_caps[i], bucket),
+                lambda s: s,
+                s,
+            )
+
+        s = jax.lax.fori_loop(0, n_lanes, apply, s)
 
         def body(carry, _):
             s = carry
-            key, sub = jax.random.split(s.key)
-            key_valid = slot_idx[None, :] >= s.valid_from[:, None]
-            frame, caches = unified.decode_frame(
-                params, cfg, s.frame_tokens, s.frame_mask, s.caches, s.pos,
-                sub, temperature=temperature, topk=topk,
-                forbid_prefix=s.forbid_prefix[:, None],
-                key_valid=key_valid,
-                sample_text=mode == "text", sample_audio=mode == "audio",
-            )
-            text_tok = frame[:, 0]
-            audio_toks = frame[:, 1:]
+            return frame_body(params, s, slot_idx)
 
-            if mode == "text":
-                eos_now = text_tok == ts.text_eos
-                active = s.active & ~eos_now
-                emit = jnp.where(s.active & ~eos_now, text_tok, -1)
-                done_now = s.active & eos_now
-                fb_tokens = jnp.concatenate(
-                    [jnp.zeros((b, ncb), jnp.int32), text_tok[:, None]], 1
-                )[:, None, :]
-                fb_mask = jnp.concatenate(
-                    [jnp.zeros((b, ncb), bool), jnp.ones((b, 1), bool)], 1
-                )[:, None, :]
-                out = (emit, jnp.zeros((b, ncb), jnp.int32),
-                       jnp.full((b,), PHASE_DROPPED, jnp.int32), done_now)
-                new = s._replace(
-                    pos=s.pos + 1, active=active, frame_tokens=fb_tokens,
-                    frame_mask=fb_mask, key=key, caches=caches,
-                )
-                return new, out
-
-            sem_eos = jnp.all(
-                audio_toks == (ts.semantic_eos + ts.audio_reason_card), axis=1
-            )
-            reason_eos_frame = jnp.all(audio_toks == ts.reason_eos, axis=1)
-            switch = s.is_reason & reason_eos_frame
-            done_now = s.active & sem_eos
-            active = s.active & ~sem_eos
-            save_now = s.active & ~switch & ~sem_eos
-            new_is_reason = s.is_reason & ~switch
-            phase = jnp.where(
-                save_now,
-                jnp.where(new_is_reason, PHASE_REASON, PHASE_SEMANTIC),
-                PHASE_DROPPED,
-            )
-            new_forbid = jnp.where(
-                switch, jnp.int32(ts.audio_reason_card), s.forbid_prefix
-            )
-            fb_tokens = jnp.concatenate(
-                [audio_toks, text_tok[:, None]], 1)[:, None, :]
-            fb_mask = jnp.concatenate(
-                [jnp.ones((b, ncb), bool), jnp.zeros((b, 1), bool)], 1
-            )[:, None, :]
-            out = (jnp.where(s.active, text_tok, -1), audio_toks, phase,
-                   done_now)
-            new = s._replace(
-                pos=s.pos + 1, active=active, frame_tokens=fb_tokens,
-                frame_mask=fb_mask, is_reason=new_is_reason,
-                forbid_prefix=new_forbid, key=key, caches=caches,
-            )
-            return new, out
-
-        s, (text_seg, audio_seg, phase_seg, done_seg) = jax.lax.scan(
-            body, s, None, length=seg_frames
-        )
-        # scan stacks on axis 0 -> (K, B, ...): transpose to (B, K, ...)
-        return s, (text_seg.T, jnp.transpose(audio_seg, (1, 0, 2)),
-                   phase_seg.T, done_seg.T)
+        s, slab = jax.lax.scan(body, s, None, length=seg_frames)
+        return s, jnp.transpose(slab, (1, 0, 2))  # (B, K, ncb+3)
 
     return segment
 
 
-def _build_refill(cfg: UnifiedModelConfig, *, bucket: int):
-    """Write one queued request's prompt into row ``row`` so that the
-    prompt's last-but-one token sits at position ``pos-2`` and its last
-    token becomes the row's next frame input at ``pos-1``... precisely:
-    with next decode position P (state.pos), the prompt's K/V occupy
-    positions [P-L, P-1) and the prompt's last token is fed at P-1 by the
-    segment loop (matching `_build_generate_batched`'s left-packed start
-    where the last real token sits at slot bucket-1 == first decode pos).
-    """
+def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
+                 temperature: float, topk: int):
+    """Decode until every row is inactive or the cache budget ends — the
+    whole tail in one dispatch. Returns (state, slab (B, drain_cap, C),
+    n_steps)."""
+    ncb = cfg.tokens.num_codebooks
+    frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
+                                  topk=topk)
 
-    def refill(params: Params, s: SlotState, row: jax.Array,
-               grid: jax.Array, grid_mask: jax.Array, length: jax.Array):
-        # grid: (1, bucket, 9) LEFT-padded, real length `length`. Grid slot
-        # i maps to position start+i with the LAST real token (slot
-        # bucket-1) landing at s.pos — it is fed as the first frame input
-        # there by the segment loop, mirroring the static batched start
-        # (grid[:, -1:] fed at slot bucket-1, decode.py:283,308).
-        start = s.pos - jnp.int32(bucket - 1)   # position of grid slot 0
+    def drain(params: Params, s: SlotState):
         cache_len = s.caches.backbone.k.shape[3]
         slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
-        valid_from_row = s.pos - length + 1     # first real-token position
-        key_valid_row = (slot_idx[None, :] >= valid_from_row)[..., :]
+        b = s.active.shape[0]
+        slab0 = jnp.zeros((b, drain_cap, ncb + 3), jnp.int32)
 
-        def slice_cache(c):
-            return UnifiedCaches(*[
-                type(k)(
-                    jax.lax.dynamic_slice_in_dim(k.k, row, 1, axis=1),
-                    jax.lax.dynamic_slice_in_dim(k.v, row, 1, axis=1),
-                ) for k in c
-            ])
+        def cond(c):
+            step, s, _ = c
+            return (jnp.any(s.active)
+                    & (step < drain_cap)
+                    & (s.pos < cache_len - 1))
 
-        def splice_cache(full, part):
-            return UnifiedCaches(*[
-                type(f)(
-                    jax.lax.dynamic_update_slice_in_dim(f.k, p.k, row, axis=1),
-                    jax.lax.dynamic_update_slice_in_dim(f.v, p.v, row, axis=1),
-                ) for f, p in zip(full, part)
-            ])
+        def body(c):
+            step, s, slab = c
+            s, packed = frame_body(params, s, slot_idx)
+            slab = jax.lax.dynamic_update_slice_in_dim(
+                slab, packed[:, None, :], step, axis=1)
+            return step + 1, s, slab
 
-        row_caches = slice_cache(s.caches)
-        # run the bucket-1 prompt prefix through the decode path at offset
-        # positions [start, start+bucket-1); causal masking keeps pad slots
-        # from contaminating real ones, and key_valid hides them after
-        _, row_caches = unified.decode_hidden(
-            params, cfg, grid[:, :-1], grid_mask[:, :-1], row_caches,
-            start, key_valid=key_valid_row,
+        steps, s, slab = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), s, slab0))
+        return s, slab, steps
+
+    return drain
+
+
+def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
+                   out_cap: int, temperature: float, topk: int):
+    """Fully in-graph continuous batching over a fixed request list: ONE
+    dispatch decodes Q requests through B rows, admitting the next queued
+    prompt into a row the frame after the row frees (refill-on-completion
+    inside the `while_loop`). This is the offline/batch-eval throughput
+    path — the host never intervenes, so scheduling costs zero round trips
+    (the segment/drain path above exists for ONLINE serving where requests
+    arrive over time).
+
+    Returns (slab (Q, out_cap, ncb+3), n_frames (Q,)). Rows dump inactive
+    frames into a scratch request index Q."""
+    ncb = cfg.tokens.num_codebooks
+    frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
+                                  topk=topk)
+
+    def offline(params: Params, s: SlotState, q_grids: jax.Array,
+                q_masks: jax.Array, q_lens: jax.Array, q_caps: jax.Array):
+        n_q = q_grids.shape[0]
+        b = s.active.shape[0]
+        cache_len = s.caches.backbone.k.shape[3]
+        slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
+        rows_idx = jnp.arange(b, dtype=jnp.int32)
+
+        class C(NamedTuple):
+            s: SlotState
+            next_q: jax.Array      # i32
+            row_req: jax.Array     # (B,) i32, -1 = empty
+            row_frame: jax.Array   # (B,) i32 frames emitted for the row
+            out: jax.Array         # (Q+1, out_cap, ncb+3)
+            n_frames: jax.Array    # (Q,)
+
+        def admit_row(r, c):
+            can = ((c.row_req[r] < 0)
+                   & (c.next_q < n_q)
+                   & (cache_len - 1 - c.s.pos
+                      >= q_caps[jnp.minimum(c.next_q, n_q - 1)]))
+
+            def do(c):
+                qi = jnp.minimum(c.next_q, n_q - 1)
+                s = _refill_one(
+                    params, cfg, c.s, r,
+                    jax.lax.dynamic_slice_in_dim(q_grids, qi, 1, axis=0),
+                    jax.lax.dynamic_slice_in_dim(q_masks, qi, 1, axis=0),
+                    q_lens[qi], q_caps[qi], bucket)
+                return c._replace(
+                    s=s, next_q=c.next_q + 1,
+                    row_req=c.row_req.at[r].set(qi),
+                    row_frame=c.row_frame.at[r].set(0),
+                )
+
+            return jax.lax.cond(can, do, lambda c: c, c)
+
+        def cond(c):
+            return (c.next_q < n_q) | jnp.any(c.s.active)
+
+        def body(c):
+            # reset the shared position when the batch fully drains but the
+            # next request's budget no longer fits (bounded cache window)
+            need_reset = (~jnp.any(c.s.active)
+                          & (c.next_q < n_q)
+                          & (cache_len - 1 - c.s.pos
+                             < q_caps[jnp.minimum(c.next_q, n_q - 1)]))
+            s = c.s._replace(pos=jnp.where(need_reset, jnp.int32(bucket),
+                                           c.s.pos))
+            c = c._replace(s=s)
+            # single gate per frame: the per-row admission conds (each
+            # carrying a prefill branch) only run when a slot is free AND
+            # work is queued — on most frames this is one cheap branch
+            c = jax.lax.cond(
+                jnp.any(c.row_req < 0) & (c.next_q < n_q),
+                lambda c: jax.lax.fori_loop(
+                    0, b, lambda r, c: admit_row(r, c), c),
+                lambda c: c,
+                c,
+            )
+            s, packed = frame_body(params, c.s, slot_idx)
+            req = jnp.where(c.row_req >= 0, c.row_req, n_q)  # (B,)
+            frame = jnp.minimum(c.row_frame, out_cap - 1)
+            out = c.out.at[req, frame].set(packed)
+            emitted = (c.row_req >= 0).astype(jnp.int32)
+            row_frame = c.row_frame + emitted
+            done = packed[:, ncb + 2] > 0
+            n_frames = c.n_frames.at[
+                jnp.where(done, c.row_req, n_q)
+            ].set(jnp.minimum(row_frame, out_cap), mode="drop")
+            row_req = jnp.where(done, -1, c.row_req)
+            return C(s, c.next_q, row_req, row_frame, out, n_frames)
+
+        c0 = C(
+            s=s, next_q=jnp.int32(0),
+            row_req=jnp.full((b,), -1, jnp.int32),
+            row_frame=jnp.zeros((b,), jnp.int32),
+            out=jnp.zeros((n_q + 1, out_cap, ncb + 3), jnp.int32),
+            n_frames=jnp.zeros((n_q,), jnp.int32),
         )
-        caches = splice_cache(s.caches, row_caches)
+        c = jax.lax.while_loop(cond, body, c0)
+        return c.out[:n_q], c.n_frames
 
-        def set_row(a, v):
-            return jax.lax.dynamic_update_slice_in_dim(
-                a, jnp.asarray(v, a.dtype)[None], row, axis=0)
-
-        return s._replace(
-            caches=caches,
-            active=set_row(s.active, True),
-            frame_tokens=jax.lax.dynamic_update_slice_in_dim(
-                s.frame_tokens, grid[:, -1:], row, axis=0),
-            frame_mask=jax.lax.dynamic_update_slice_in_dim(
-                s.frame_mask, grid_mask[:, -1:], row, axis=0),
-            is_reason=set_row(s.is_reason, True),
-            forbid_prefix=set_row(s.forbid_prefix, 0),
-            valid_from=set_row(s.valid_from, valid_from_row),
-        )
-
-    return refill
+    return offline
 
 
 @dataclass
@@ -240,7 +401,8 @@ class _Request:
 
 
 class ContinuousEngine:
-    """Host-side iteration-level scheduler over the segment/refill programs.
+    """Host-side iteration-level scheduler over the fused segment + drain
+    programs.
 
     Usage:
         eng = ContinuousEngine(params, cfg, mode="text", rows=4)
@@ -268,14 +430,18 @@ class ContinuousEngine:
         self._results: Dict[int, Any] = {}
         self._next_rid = 0
         self._segment = jax.jit(_build_segment(
-            cfg, mode=mode, seg_frames=seg_frames,
+            cfg, mode=mode, bucket=bucket, seg_frames=seg_frames,
             temperature=temperature, topk=topk), donate_argnums=(1,))
-        self._refill = jax.jit(_build_refill(cfg, bucket=bucket),
-                               donate_argnums=(1,))
+        self._drain = jax.jit(_build_drain(
+            cfg, mode=mode, drain_cap=cache_len - bucket,
+            temperature=temperature, topk=topk), donate_argnums=(1,))
         self._key = jax.random.PRNGKey(seed)
         self._state = self._fresh_state(cache_dtype)
-        self.stats = {"segments": 0, "refills": 0, "resets": 0}
+        self._pos_host = self.bucket   # mirrors state.pos (no device reads)
+        self.stats = {"segments": 0, "drains": 0, "refills": 0, "resets": 0}
         self._cache_dtype = cache_dtype
+        self._temperature = temperature
+        self._topk = topk
 
     def _fresh_state(self, cache_dtype=jnp.bfloat16) -> SlotState:
         b = self.rows
@@ -290,6 +456,7 @@ class ContinuousEngine:
             is_reason=jnp.ones((b,), bool),
             forbid_prefix=jnp.zeros((b,), jnp.int32),
             valid_from=jnp.full((b,), self.cache_len, jnp.int32),
+            stop_at=jnp.zeros((b,), jnp.int32),
             key=sub,
             caches=caches,
         )
@@ -310,73 +477,153 @@ class ContinuousEngine:
         self._queue.put(_Request(rid, np.asarray(grid), np.asarray(mask), mf))
         return rid
 
+    def run_offline(self, requests, max_frames: Optional[int] = None
+                    ) -> List[Any]:
+        """Fully in-graph continuous batching over a known request list
+        (offline batch-eval throughput mode): ONE device dispatch decodes
+        all ``requests`` (list of (grid, mask) or (grid, mask, max_frames))
+        with in-loop refill-on-completion. Returns results in input order
+        (same formats as `run_until_drained`)."""
+        prepared = []
+        for item in requests:
+            g, m = item[0], item[1]
+            mf = item[2] if len(item) > 2 else (max_frames or self.max_frames)
+            assert g.shape[0] <= self.bucket
+            assert mf <= self.cache_len - 1 - self.bucket
+            prepared.append((np.asarray(g), np.asarray(m), int(mf)))
+        # longest-processing-time-first admission: rows stay balanced and
+        # the makespan tail (one long request decoding alone) shrinks
+        order = sorted(range(len(prepared)),
+                       key=lambda i: -prepared[i][2])
+        prepared = [prepared[i] for i in order]
+        n_q = len(prepared)
+        out_cap = max(mf for _, _, mf in prepared)
+        key = (n_q, out_cap)
+        if getattr(self, "_offline_key", None) != key:
+            self._offline_key = key
+            self._offline = jax.jit(_build_offline(
+                self.cfg, mode=self.mode, bucket=self.bucket,
+                out_cap=out_cap, temperature=self._temperature,
+                topk=self._topk))
+        grids = np.zeros((n_q, self.bucket, 9), np.int64)
+        masks = np.zeros((n_q, self.bucket, 9), bool)
+        lens = np.zeros((n_q,), np.int32)
+        caps = np.zeros((n_q,), np.int32)
+        for i, (g, m, mf) in enumerate(prepared):
+            L = g.shape[0]
+            grids[i, self.bucket - L:] = g
+            masks[i, self.bucket - L:] = m
+            lens[i] = L
+            caps[i] = mf
+        state = self._fresh_state(self._cache_dtype)
+        slab, n_frames = self._offline(
+            self.params, state, jnp.asarray(grids), jnp.asarray(masks),
+            jnp.asarray(lens), jnp.asarray(caps))
+        slab = np.asarray(slab)
+        n_frames = np.asarray(n_frames)
+        ncb = self.cfg.tokens.num_codebooks
+        results = [None] * n_q
+        for i in range(n_q):
+            n = int(n_frames[i]) or prepared[i][2]
+            n = min(n, prepared[i][2])
+            if self.mode == "text":
+                toks = slab[i, :n, 0]
+                out = toks[toks >= 0].astype(np.int64)
+            else:
+                out = split_two_phase(
+                    slab[i, :n, 1 : 1 + ncb].astype(np.int64),
+                    slab[i, :n, 1 + ncb].astype(np.int64), n,
+                    self.cfg.tokens.audio_reason_card,
+                )
+            results[order[i]] = out  # undo the LPT permutation
+        return results
+
     def run_until_drained(self) -> Dict[int, Any]:
         """Process queue + in-flight work to completion; return results:
         mode=text -> 1-D token array per request id; mode=audio ->
         (reason (8, T1), semantic (8, T2)) per request id."""
         while not self._queue.empty() or any(
                 s.request_id >= 0 for s in self._slots):
-            self._admit()
-            self._step_segment()
+            refills = self._gather_refills()
+            busy = any(s.request_id >= 0 for s in self._slots)
+            if not refills and not busy:
+                if self._queue.empty():
+                    break
+                # queued work exists but nothing is admissible here: reset
+                self._state = self._fresh_state(self._cache_dtype)
+                self._pos_host = self.bucket
+                self.stats["resets"] += 1
+                continue
+            if self._queue.empty() and not refills:
+                self._run_drain()
+            else:
+                self._run_segment(refills)
         out, self._results = self._results, {}
         return out
 
     # -- scheduling --------------------------------------------------------
 
     def _remaining(self) -> int:
-        return self.cache_len - 1 - int(self._state.pos)
+        return self.cache_len - 1 - self._pos_host
 
-    def _admit(self):
+    def _gather_refills(self):
+        """Pop admissible queued requests into free slots (host bookkeeping
+        only; the device writes happen inside the next segment call)."""
+        refills = []
         for r, slot in enumerate(self._slots):
             if slot.request_id >= 0 or self._queue.empty():
                 continue
             req: _Request = self._queue.queue[0]
             if self._remaining() < req.max_frames:
-                continue  # not enough cache budget at this position
+                continue
             self._queue.get()
-            g = np.zeros((self.bucket, 9), np.int64)
-            m = np.zeros((self.bucket, 9), bool)
-            L = req.grid.shape[0]
-            g[self.bucket - L:] = req.grid
-            m[self.bucket - L:] = req.mask
-            self._state = self._refill(
-                self.params, self._state, jnp.int32(r),
-                jnp.asarray(g)[None], jnp.asarray(m)[None], jnp.int32(L),
-            )
             self._slots[r] = _Slot(request_id=req.rid,
                                    max_frames=req.max_frames)
+            refills.append((r, req))
             self.stats["refills"] += 1
-        # nothing runnable and nothing admitted at this position -> reset
-        if (not any(s.request_id >= 0 for s in self._slots)
-                and not self._queue.empty()):
-            self._state = self._fresh_state(self._cache_dtype)
-            self.stats["resets"] += 1
-            self._admit()
+        return refills
 
-    def _step_segment(self):
-        if not any(s.request_id >= 0 for s in self._slots):
-            return
-        if self._remaining() <= 0:
-            # cache exhausted: finalize whatever is still running as-is
-            for r, slot in enumerate(self._slots):
-                if slot.request_id >= 0:
-                    self._finalize(r)
-            return
-        self._state, (text_seg, audio_seg, phase_seg, done_seg) = \
-            self._segment(self.params, self._state)
+    def _refill_args(self, refills):
+        n = self.rows
+        rows = np.full((n,), -1, np.int32)
+        grids = np.zeros((n, self.bucket, 9), np.int64)
+        masks = np.zeros((n, self.bucket, 9), bool)
+        lens = np.zeros((n,), np.int32)
+        caps = np.zeros((n,), np.int32)
+        for i, (r, req) in enumerate(refills):
+            L = req.grid.shape[0]
+            rows[i] = r
+            grids[i, self.bucket - L:] = req.grid
+            masks[i, self.bucket - L:] = req.mask
+            lens[i] = L
+            caps[i] = req.max_frames
+        return (jnp.asarray(rows), jnp.asarray(grids), jnp.asarray(masks),
+                jnp.asarray(lens), jnp.asarray(caps))
+
+    def _run_segment(self, refills):
+        self._state, slab = self._segment(
+            self.params, self._state, *self._refill_args(refills))
         self.stats["segments"] += 1
-        text_seg = np.asarray(text_seg)
-        audio_seg = np.asarray(audio_seg)
-        phase_seg = np.asarray(phase_seg)
-        done_seg = np.asarray(done_seg)
+        self._pos_host += self.seg_frames
+        self._harvest(np.asarray(slab))
+
+    def _run_drain(self):
+        self._state, slab, steps = self._drain(self.params, self._state)
+        self.stats["drains"] += 1
+        steps = int(steps)
+        self._pos_host += steps
+        self._harvest(np.asarray(slab)[:, :steps])
+
+    def _harvest(self, slab: np.ndarray):
+        ncb = self.cfg.tokens.num_codebooks
         for r, slot in enumerate(self._slots):
             if slot.request_id < 0:
                 continue
-            for kf in range(text_seg.shape[1]):
-                slot.text.append(int(text_seg[r, kf]))
-                slot.audio.append(audio_seg[r, kf])
-                slot.phase.append(int(phase_seg[r, kf]))
-                if done_seg[r, kf]:
+            for kf in range(slab.shape[1]):
+                slot.text.append(int(slab[r, kf, 0]))
+                slot.audio.append(slab[r, kf, 1 : 1 + ncb])
+                slot.phase.append(int(slab[r, kf, 1 + ncb]))
+                if slab[r, kf, 2 + ncb]:
                     self._finalize(r)
                     break
             else:
