@@ -80,3 +80,34 @@ def test_sharded_moe_forward():
     assert np.isfinite(float(loss))
     g = grads["layers"]["fc1_w"]
     assert g.shape == params["layers"]["fc1_w"].shape
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_serving_engine_matches_single_device():
+    """DecodeEngine(mesh=...) — the full compiled generation loop under
+    FSDP+TP sharding produces the same greedy tokens as unsharded serving."""
+    from uniaudio2_tpu.engine import tasks
+    from uniaudio2_tpu.engine.decode import DecodeEngine
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    g, m1 = tasks.prepare_tts(np.array([1, 5, 6]), np.array([1, 10, 2]),
+                              cfg.tokens)
+
+    plain = DecodeEngine(params, cfg, max_frames=6,
+                         cache_dtype=jnp.float32, buckets=(32,))
+    exp_text = np.asarray(plain.generate_text(g, m1, topk=1))
+    exp_audio = plain.generate_audio(g, m1, topk=1)
+
+    mesh = meshlib.build_mesh(fsdp=4, tp=2)
+    sharded = DecodeEngine(params, cfg, max_frames=6,
+                           cache_dtype=jnp.float32, buckets=(32,),
+                           mesh=mesh, use_tp=True)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.generate_text(g, m1, topk=1)), exp_text)
+    got_audio = sharded.generate_audio(g, m1, topk=1)
+    np.testing.assert_array_equal(np.asarray(got_audio[0]),
+                                  np.asarray(exp_audio[0]))
+    batch = sharded.generate_text_batch([(g, m1)] * 3, topk=1)
+    for row in batch:
+        np.testing.assert_array_equal(np.asarray(row), exp_text)

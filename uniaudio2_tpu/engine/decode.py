@@ -80,6 +80,7 @@ def _build_generate(
     topk: int,
     use_cfg: bool,
     cache_dtype=jnp.bfloat16,
+    cache_sharding=None,
 ):
     """Construct the jittable full-generation function for one configuration."""
     ts = cfg.tokens
@@ -102,6 +103,11 @@ def _build_generate(
     ):
         caches = unified.init_caches(cfg, batch, dtype=cache_dtype,
                                      seq_len=cache_len)
+        if cache_sharding is not None:
+            caches = jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, cache_sharding),
+                caches,
+            )
         # Prefill positions [0, bucket-1) with grid[:, :-1] (reference
         # forward_prefix consumes tokens[:, :-1], asr_task.py:658).
         caches = unified.prefill(
@@ -236,6 +242,7 @@ def _build_generate_batched(
     topk: int,
     use_cfg: bool = False,
     cache_dtype=jnp.bfloat16,
+    cache_sharding=None,
 ):
     """Batched multi-utterance generation: B independent rows decode in one
     compiled loop with per-row EOS / two-phase state.
@@ -273,6 +280,11 @@ def _build_generate_batched(
         b = n_rows
         caches = unified.init_caches(cfg, b, dtype=cache_dtype,
                                      seq_len=cache_len)
+        if cache_sharding is not None:
+            caches = jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, cache_sharding),
+                caches,
+            )
         slot = jnp.arange(cache_len, dtype=jnp.int32)
         pad = (bucket - prompt_lens)[:, None]      # (B, 1) left-pad widths
         key_valid = slot[None, :] >= pad           # pad slots invalid forever
@@ -393,8 +405,15 @@ class DecodeEngine:
         max_frames: int = 500,   # reference cap (tts_task.py:222)
         cache_dtype=jnp.bfloat16,
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+        mesh=None,
+        use_tp: bool = False,
     ):
-        self.params = params
+        """``mesh``: optional `jax.sharding.Mesh` for multi-chip serving —
+        parameters are placed by `parallel/mesh.py`'s specs (FSDP over the
+        `fsdp` axis, attention-head/MLP-hidden tensor parallelism over `tp`
+        when ``use_tp``), the KV caches are sharded over `tp` on the
+        kv-group axis, and XLA SPMD inserts the collectives inside the
+        compiled generation loops. Single-chip when None."""
         self.cfg = cfg
         self.max_frames = max_frames
         self.cache_dtype = cache_dtype
@@ -402,6 +421,17 @@ class DecodeEngine:
             cfg.max_seq_len,
         )
         self._compiled: Dict[Tuple, Any] = {}
+        self._cache_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from uniaudio2_tpu.parallel import mesh as meshlib
+
+            params = meshlib.shard_params(params, mesh, use_tp=use_tp)
+            # cache leaves are (L, B, G, S, hd): shard kv groups over tp
+            self._cache_sharding = NamedSharding(
+                mesh, PartitionSpec(None, None, "tp" if use_tp else None)
+            )
+        self.params = params
 
     def _get(self, mode: str, bucket: int, temperature: float, topk: int,
              use_cfg: bool):
@@ -411,6 +441,7 @@ class DecodeEngine:
                 self.cfg, mode=mode, bucket=bucket,
                 max_frames=self.max_frames, temperature=temperature,
                 topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
+                cache_sharding=self._cache_sharding,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -484,6 +515,7 @@ class DecodeEngine:
                 self.cfg, mode=mode, bucket=bucket, n_rows=n_rows,
                 max_frames=self.max_frames, temperature=temperature,
                 topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
+                cache_sharding=self._cache_sharding,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
