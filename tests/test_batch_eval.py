@@ -79,3 +79,18 @@ def test_batch_eval_asr(tmp_path):
     assert len(lines) == 3
     assert lines[0].split("\t")[0] == "u0"
     assert lines[0].split("\t")[2] == "hello world"
+
+    # continuous decode type: same test set through the in-graph offline
+    # continuous-batching path must give identical greedy hypotheses
+    results_c = str(tmp_path / "asr_cont.tsv")
+    batch_eval.main([
+        "--task", "ASR", "--test_data_json", str(tmp_path / "test.json"),
+        "--results", results_c,
+        "--llm_train_config", str(yaml_path),
+        "--resume", str(tmp_path / "m.npz"),
+        "--text_tokenizer_path", str(tok_dir),
+        "--prompt_text", "go",
+        "--model_dtype", "float32", "--max_frames", "5",
+        "--batch_size", "2", "--decode_type", "continuous",
+    ])
+    assert open(results_c).read() == open(results).read()

@@ -37,7 +37,7 @@ def get_parser():
     p.add_argument("--prompt_text", type=str, default=None)
     p.add_argument("--prompt_json", type=str, default=None)
     p.add_argument("--decode_type", type=str, default="greedy",
-                   choices=["greedy", "ngram", "beamsearch"])
+                   choices=["greedy", "ngram", "beamsearch", "continuous"])
     p.add_argument("--temperature", type=float, default=0.9)
     p.add_argument("--topk", type=int, default=200)
     p.add_argument("--beam_size", type=int, default=4)
@@ -92,6 +92,50 @@ def main(argv: Optional[List[str]] = None):
     os.makedirs(os.path.dirname(args.results) or ".", exist_ok=True)
 
     refs, hyps = {}, {}
+    if args.decode_type == "continuous":
+        # offline continuous batching: in-graph refill-on-completion, one
+        # dispatch for the whole test set (engine/continuous.py)
+        from uniaudio2_tpu.engine.continuous import ContinuousEngine
+        from uniaudio2_tpu.engine.decode import pick_bucket
+
+        items, gts, order = [], [], []
+        for u in utt_ids:
+            d = {}
+            for k, tp in zip(keys, types):
+                v = data[k][u]
+                d[k] = np.asarray(v).T if tp != "text" and np.asarray(v).ndim == 2 and np.asarray(v).shape[0] == 8 else v
+            grid, mask = tm.build_condition_grid(
+                runner._prompt_ids(prompt), d, keys, types, runner.ts
+            )
+            items.append((grid, mask))
+            ref = data[ref_key].get(u, "")
+            if not isinstance(ref, str):
+                ref = runner.tok.decode(np.asarray(ref).reshape(-1))
+            gts.append(ref)
+            order.append(u)
+        bucket = pick_bucket(max(g.shape[0] for g, _ in items),
+                             runner.engine.buckets)
+        ce = ContinuousEngine(
+            runner.engine.params, runner.engine.cfg, mode="text",
+            rows=args.batch_size, bucket=bucket,
+            cache_len=-(-(bucket + args.max_frames + 1) // 256) * 256,
+            max_frames=args.max_frames, temperature=args.temperature,
+            topk=1, seed=args.seed,
+            cache_dtype=runner.engine.cache_dtype,
+        )
+        outs = ce.run_offline(items)
+        with open(args.results, "w", encoding="utf-8") as f_out:
+            for u, toks, gt in zip(order, outs, gts):
+                hyp = runner.tok.decode(np.asarray(toks))
+                f_out.write(f"{u}\t{hyp}\t{gt}\n")
+                refs[u], hyps[u] = gt, hyp
+        print(f"wrote {args.results} ({len(refs)} utts)")
+        if args.score:
+            from uniaudio2_tpu.metrics.wer import compute_wer
+
+            print(compute_wer(refs, hyps, lang=args.lang))
+        return
+
     with open(args.results, "w", encoding="utf-8") as f_out:
         for i in range(0, len(utt_ids), args.batch_size):
             chunk = utt_ids[i : i + args.batch_size]
