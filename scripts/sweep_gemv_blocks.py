@@ -88,9 +88,9 @@ def bench(name, k, n, bn, mode):
         return
 
     @jax.jit
-    def chain(x, seed):
+    def chain(x, wv, sc, seed):
         def body(i, x):
-            y = matmul_bn(x, w.values, scale, bn, mode)
+            y = matmul_bn(x, wv, sc, bn, mode)
             if y.shape[-1] >= k:
                 return (y[:, :k] * 1e-3 + seed * 1e-12).astype(x.dtype)
             reps = -(-k // y.shape[-1])
@@ -100,9 +100,9 @@ def bench(name, k, n, bn, mode):
         return jax.lax.fori_loop(0, N_ITER, body, x)
 
     x = jnp.ones((1, k), jnp.bfloat16)
-    np.asarray(chain(x, jnp.float32(1)))
+    np.asarray(chain(x, w.values, scale, jnp.float32(1)))
     t0 = time.perf_counter()
-    np.asarray(chain(x, jnp.float32(2)))
+    np.asarray(chain(x, w.values, scale, jnp.float32(2)))
     dt = time.perf_counter() - t0
     gbps = (k // 2 * halfpad) * N_ITER / dt / 1e9
     print(json.dumps({"shape": name, "mode": mode, "block_n": bn,

@@ -65,7 +65,7 @@ def test_fused_step_matches_composed(grouped):
     ref, k_ref, v_ref, cos, sin = _composed(
         layer, x, k_cache, v_cache, pos, h=h, g=g, hd=hd)
 
-    assert can_fuse_step(layer, x)
+    assert can_fuse_step(layer, x, k_cache=k_cache, v_cache=v_cache)
     with pltpu.force_tpu_interpret_mode():
         attn, k_new, v_new = fused_attn_decode_step(
             layer, x, cos, sin, k_cache, v_cache, pos,
@@ -107,11 +107,17 @@ def test_fused_step_sequential_cache_consistency():
 
 
 def test_can_fuse_step_gates():
-    layer, x, *_ = _setup(False)
-    assert can_fuse_step(layer, x)
-    assert not can_fuse_step(layer, jnp.zeros((2, 1, 256)))   # batch > 1
-    assert not can_fuse_step(layer, x, window=jnp.int32(4))
-    assert not can_fuse_step(layer, x, softcap=30.0)
-    assert not can_fuse_step(layer, x, key_valid=jnp.ones((1, 16), bool))
+    layer, x, kc, vc = _setup(False)
+    kw = dict(k_cache=kc, v_cache=vc)
+    assert can_fuse_step(layer, x, **kw)
+    assert not can_fuse_step(layer, x)                         # unknown cache
+    assert not can_fuse_step(layer, jnp.zeros((2, 1, 256)), **kw)  # batch > 1
+    assert not can_fuse_step(layer, x, window=jnp.int32(4), **kw)
+    assert not can_fuse_step(layer, x, softcap=30.0, **kw)
+    assert not can_fuse_step(layer, x, key_valid=jnp.ones((1, 16), bool),
+                             **kw)
     bf16 = {**layer, "qkv_w": jnp.zeros((256, 512), jnp.bfloat16)}
-    assert not can_fuse_step(bf16, x)                          # unquantized
+    assert not can_fuse_step(bf16, x, **kw)                    # unquantized
+    # oversized cache blows the resident-set budget
+    big_kc = jnp.zeros((1, 8, 8192, 128), jnp.bfloat16)
+    assert not can_fuse_step(layer, x, k_cache=big_kc, v_cache=big_kc)

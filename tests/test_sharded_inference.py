@@ -111,3 +111,38 @@ def test_mesh_serving_engine_matches_single_device():
     batch = sharded.generate_text_batch([(g, m1)] * 3, topk=1)
     for row in batch:
         np.testing.assert_array_equal(np.asarray(row), exp_text)
+
+
+def test_param_specs_fire_for_quantized_serving_layout():
+    """The sharding rules must key on the enclosing weight name, not the
+    Quantized* namedtuple field or the unrolled-list index: quantized
+    values get the Megatron column/row split, scales stay replicated."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from uniaudio2_tpu.ops.quant import QuantizedLinear4, QuantizedLinearC4
+
+    q = lambda k, n: QuantizedLinear4(
+        jnp.zeros((k // 2, n), jnp.int8), jnp.zeros((n,), jnp.float32))
+    qc = lambda k, n: QuantizedLinearC4(
+        jnp.zeros((k, n // 2), jnp.int8), jnp.zeros((n,), jnp.float32))
+    params = {
+        "backbone": {
+            "layers": [{
+                "qkv_w": q(1024, 1280),
+                "attn_proj_w": q(1024, 1024),
+                "fc1_w": q(1024, 2048),
+                "fc2_w": q(1024, 2048),
+                "mlp_proj_w": qc(2048, 1024),
+                "norm1_w": jnp.ones((1024,)),
+            }],
+            "lm_head_w": q(1024, 4096),
+        },
+        "audio_head": [qc(1024, 4096)],
+    }
+    specs = meshlib.unified_param_specs(params, use_tp=True)
+    layer = specs["backbone"]["layers"][0]
+    assert layer["qkv_w"].values == P("fsdp", "tp")       # column-parallel
+    assert layer["qkv_w"].scale == P()                    # replicated
+    assert layer["mlp_proj_w"].values == P("tp", "fsdp")  # row-parallel
+    assert layer["norm1_w"] == P()
+    assert specs["audio_head"][0].values == P("fsdp", "tp")

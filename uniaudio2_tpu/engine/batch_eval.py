@@ -91,6 +91,23 @@ def main(argv: Optional[List[str]] = None):
     utt_ids = [u for u in data[keys[0]] if all(u in data[k] for k in fmt["keys"])]
     os.makedirs(os.path.dirname(args.results) or ".", exist_ok=True)
 
+    def prep_item(u):
+        """(grid, mask, decoded reference) for one utterance — shared by the
+        static and continuous decode paths (keep the codebook-major
+        transpose heuristic in exactly one place)."""
+        d = {}
+        for k, tp in zip(keys, types):
+            v = data[k][u]
+            arr = np.asarray(v)
+            d[k] = arr.T if tp != "text" and arr.ndim == 2 and arr.shape[0] == 8 else v
+        grid, mask = tm.build_condition_grid(
+            runner._prompt_ids(prompt), d, keys, types, runner.ts
+        )
+        ref = data[ref_key].get(u, "")
+        if not isinstance(ref, str):
+            ref = runner.tok.decode(np.asarray(ref).reshape(-1))
+        return grid, mask, ref
+
     refs, hyps = {}, {}
     if args.decode_type == "continuous":
         # offline continuous batching: in-graph refill-on-completion, one
@@ -100,17 +117,8 @@ def main(argv: Optional[List[str]] = None):
 
         items, gts, order = [], [], []
         for u in utt_ids:
-            d = {}
-            for k, tp in zip(keys, types):
-                v = data[k][u]
-                d[k] = np.asarray(v).T if tp != "text" and np.asarray(v).ndim == 2 and np.asarray(v).shape[0] == 8 else v
-            grid, mask = tm.build_condition_grid(
-                runner._prompt_ids(prompt), d, keys, types, runner.ts
-            )
+            grid, mask, ref = prep_item(u)
             items.append((grid, mask))
-            ref = data[ref_key].get(u, "")
-            if not isinstance(ref, str):
-                ref = runner.tok.decode(np.asarray(ref).reshape(-1))
             gts.append(ref)
             order.append(u)
         bucket = pick_bucket(max(g.shape[0] for g, _ in items),
@@ -141,17 +149,8 @@ def main(argv: Optional[List[str]] = None):
             chunk = utt_ids[i : i + args.batch_size]
             items, gts = [], []
             for u in chunk:
-                d = {}
-                for k, tp in zip(keys, types):
-                    v = data[k][u]
-                    d[k] = np.asarray(v).T if tp != "text" and np.asarray(v).ndim == 2 and np.asarray(v).shape[0] == 8 else v
-                grid, mask = tm.build_condition_grid(
-                    runner._prompt_ids(prompt), d, keys, types, runner.ts
-                )
+                grid, mask, ref = prep_item(u)
                 items.append((grid, mask))
-                ref = data[ref_key].get(u, "")
-                if not isinstance(ref, str):
-                    ref = runner.tok.decode(np.asarray(ref).reshape(-1))
                 gts.append(ref)
             if args.decode_type == "greedy":
                 outs = runner.engine.generate_text_batch(

@@ -384,7 +384,9 @@ def decode_step(
             and os.environ.get("UA2_FUSED_ATTN_STEP", "0") == "1"
             and wins is None and softcap is None
             and all(
-                fused_attn_step.can_fuse_step(l, x, key_valid=key_valid)
+                fused_attn_step.can_fuse_step(
+                    l, x, key_valid=key_valid,
+                    k_cache=cache.k[0], v_cache=cache.v[0])
                 for l in params["layers"]
             )
         )

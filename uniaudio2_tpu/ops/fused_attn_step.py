@@ -56,7 +56,7 @@ from uniaudio2_tpu.ops.quant import (
 )
 
 _CHUNK_N = 512
-_VMEM_LIMIT = 10 * 2 ** 20  # packed qkv + caches budget (16 MB scoped - slack)
+_VMEM_LIMIT = 14 * 2 ** 20  # full resident-set budget (16 MB scoped - slack)
 
 
 def _q_matmul_chunked(x, vals_ref, scale_ref, group: int):
@@ -150,9 +150,12 @@ def _kernel(
 
 
 def can_fuse_step(layer, x: jax.Array, *, window=None, softcap=None,
-                  key_valid=None) -> bool:
+                  key_valid=None, k_cache=None, v_cache=None) -> bool:
     """The serving gate: batch-1 single-token int4 decode, no exotic
-    attention options, packed QKV within the VMEM budget."""
+    attention options, and the kernel's FULL resident set — packed QKV,
+    both K/V cache blocks, the chunked unpack transient, and activations —
+    within the VMEM budget (a compile-time VMEM OOM wedges the remote TPU
+    toolchain; see the module docstring)."""
     if x.ndim != 3 or x.shape[0] != 1 or x.shape[1] != 1:
         return False
     if window is not None or softcap is not None or key_valid is not None:
@@ -166,7 +169,17 @@ def can_fuse_step(layer, x: jax.Array, *, window=None, softcap=None,
         return False
     if qkv_w.values.shape[-1] != qkv_w.scale.shape[-1]:
         return False
-    return qkv_w.values.size <= _VMEM_LIMIT
+    resident = qkv_w.values.size + 4 * qkv_w.scale.size
+    if k_cache is not None:
+        cache_bytes = k_cache.dtype.itemsize * k_cache.size
+        resident += 2 * cache_bytes            # k and v blocks
+    else:
+        return False                           # unknown cache size: refuse
+    # chunked-unpack transient (bf16 lo+hi of a _CHUNK_N-column slice) +
+    # the f32 qkv row + small activations
+    resident += 2 * (d // 2) * _CHUNK_N * 2
+    resident += 4 * qkv_w.scale.shape[-1] + 64 * 1024
+    return resident <= _VMEM_LIMIT
 
 
 def fused_attn_decode_step(

@@ -135,8 +135,14 @@ def can_fuse(w1, w2, w3, x: jax.Array) -> bool:
         # nibble halves must align with whole scale groups
         if (k // 2) % (k // w1.scale.shape[-2]):
             return False
-    if isinstance(w3, QuantizedLinearC4G) and i % w3.scale.shape[-2]:
-        return False
+    if isinstance(w3, QuantizedLinearC4G):
+        if i % w3.scale.shape[-2]:
+            return False
+        # the chunk width bc can shrink to 128 under the VMEM cap; whole
+        # scale groups must fit any such chunk, so the group size must
+        # divide 128 (the default INT4_GROUP=128 does)
+        if 128 % (i // w3.scale.shape[-2]):
+            return False
     # chunking needs the intermediate dim to divide evenly
     return i % 256 == 0
 

@@ -24,14 +24,6 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e30)
 
 
-def _mask_below_topk(logits: jax.Array, topk: int) -> jax.Array:
-    """Set everything below the k-th largest logit to -inf. Static ``topk``."""
-    if topk <= 0:
-        return logits
-    kth = jax.lax.top_k(logits, topk)[0][..., -1:]
-    return jnp.where(logits < kth, NEG_INF, logits)
-
-
 def _mask_prefix(logits: jax.Array, forbid_prefix: jax.Array) -> jax.Array:
     """Mask token ids ``< forbid_prefix`` (traced scalar) to -inf."""
     vocab = logits.shape[-1]

@@ -75,6 +75,21 @@ def _largest_divisor_leq(n: int, k: int) -> int:
 _FSDP_MIN_SIZE = 2 ** 16  # don't shard tiny leaves (norm weights etc.)
 
 
+def _weight_name(path: Tuple[str, ...]) -> Tuple[str, bool]:
+    """Resolve a leaf path to its weight name.
+
+    Serving params wrap weights in Quantized* namedtuples (leaf path ends
+    with 'values'/'scale') and `prepare_serving_params` unstacks layers
+    into lists (an integer index appears in the path) — the name rule must
+    key on the enclosing weight field, not the raw last path entry.
+    Returns (name, is_quant_scale)."""
+    parts = [p for p in path if not p.isdigit()]
+    if parts and parts[-1] in ("values", "scale"):
+        return (parts[-2] if len(parts) > 1 else parts[-1],
+                parts[-1] == "scale")
+    return (parts[-1] if parts else "", False)
+
+
 def _gpt_param_spec(path: Tuple[str, ...], leaf: jax.Array, tp: bool) -> P:
     """PartitionSpec for one GPT parameter leaf.
 
@@ -82,9 +97,11 @@ def _gpt_param_spec(path: Tuple[str, ...], leaf: jax.Array, tp: bool) -> P:
     *second* axis (a true dimension of each layer matrix) so all-gathers
     stay per-layer; TP shards the output-feature axis of qkv/fc and the
     input-feature axis of the projections (Megatron column/row split).
-    """
-    name = path[-1]
-    if leaf.size < _FSDP_MIN_SIZE or leaf.ndim < 2:
+    Unrolled serving layers (2-D per-layer matrices) get the same rules
+    without the leading layer axis. Quantization scales stay replicated
+    (small, and the Pallas kernels consume them whole)."""
+    name, is_scale = _weight_name(path)
+    if is_scale or leaf.size < _FSDP_MIN_SIZE or leaf.ndim < 2:
         return P()
     if name in ("wte", "lm_head_w"):
         # (V, D) / (D, V): shard the vocab axis over fsdp, D over tp
@@ -96,13 +113,15 @@ def _gpt_param_spec(path: Tuple[str, ...], leaf: jax.Array, tp: bool) -> P:
         # device computes its expert shard of the dense combine and the
         # weighted sum all-reduces over tp (one psum XLA inserts itself)
         return P(None, "tp" if tp else None, "fsdp", None)
-    if leaf.ndim == 3:  # stacked per-layer matrices (L, in, out)
-        if name == "moe_gate_w":  # (L, D, E): router replicated over tp
-            return P(None, "fsdp", None)
-        if name in ("qkv_w", "fc1_w", "fc2_w"):
-            return P(None, "fsdp", "tp" if tp else None)  # column-parallel
-        if name in ("attn_proj_w", "mlp_proj_w"):
-            return P(None, "tp" if tp else None, "fsdp")  # row-parallel
+    if name == "moe_gate_w":  # (L, D, E) / (D, E): router replicated on tp
+        return P(None, "fsdp", None) if leaf.ndim == 3 else P("fsdp", None)
+    if name in ("qkv_w", "fc1_w", "fc2_w"):     # column-parallel
+        lead = (None,) * (leaf.ndim - 2)
+        return P(*lead, "fsdp", "tp" if tp else None)
+    if name in ("attn_proj_w", "mlp_proj_w"):   # row-parallel
+        lead = (None,) * (leaf.ndim - 2)
+        return P(*lead, "tp" if tp else None, "fsdp")
+    if leaf.ndim == 3:
         return P(None, "fsdp")
     if leaf.ndim == 2:
         return P("fsdp")
@@ -113,14 +132,21 @@ def unified_param_specs(params: Dict[str, Any], use_tp: bool = False):
     """PartitionSpec pytree for the unified model's parameters."""
 
     def spec_fn(path, leaf):
+        # DictKey has .key, SequenceKey .idx, GetAttrKey (namedtuples) .name
         keys = tuple(
-            p.key if hasattr(p, "key") else str(p) for p in path
+            p.key if hasattr(p, "key") else
+            p.name if hasattr(p, "name") else
+            (str(p.idx) if hasattr(p, "idx") else str(p)) for p in path
         )
-        name = keys[-1]
-        if name == "audio_embeddings":
+        name, is_scale = _weight_name(keys)
+        if is_scale:
+            return P()
+        if name in ("audio_embeddings", "audio_embeddings_proj"):
             return P("fsdp", "tp" if use_tp else None)
-        if name == "audio_head":  # (ncb, D_dec, V_audio)
-            return P(None, "fsdp", "tp" if use_tp else None)
+        if name == "audio_head":  # (ncb, D_dec, V_audio); list form: 2-D
+            if leaf.ndim == 3:
+                return P(None, "fsdp", "tp" if use_tp else None)
+            return P("fsdp", "tp" if use_tp else None)
         if name == "projection_w":
             return P("fsdp", None)
         return _gpt_param_spec(keys, leaf, use_tp)
