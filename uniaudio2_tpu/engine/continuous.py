@@ -538,6 +538,44 @@ class ContinuousEngine:
             results[order[i]] = out  # undo the LPT permutation
         return results
 
+    def stream(self, grid: np.ndarray, mask: np.ndarray,
+               max_frames: Optional[int] = None):
+        """Generator over one request's frames as they are produced (audio
+        mode, single-slot engine): yields (phase, audio_frame (8,)) per
+        generated frame, segment by segment — the LLM half of streaming
+        TTS (`engine/stream_tts.py`). Phases follow `decode.PHASE_*`;
+        semantic-phase codes still carry the +audio_reason_card offset."""
+        assert self.mode == "audio" and self.rows == 1, (
+            "stream() needs a rows=1 audio-mode engine")
+        assert self._queue.empty() and self._slots[0].request_id < 0
+        mf = max_frames or self.max_frames
+        self.submit(grid, mask, mf)
+        ncb = self.cfg.tokens.num_codebooks
+        emitted = 0
+        done = False
+        try:
+            while not done:
+                refills = self._gather_refills()
+                if not refills and self._slots[0].request_id < 0:
+                    break
+                self._state, slab = self._segment(
+                    self.params, self._state, *self._refill_args(refills))
+                self.stats["segments"] += 1
+                self._pos_host += self.seg_frames
+                slab = np.asarray(slab)
+                for kf in range(slab.shape[1]):
+                    if emitted >= mf:
+                        done = True
+                        break
+                    yield (int(slab[0, kf, 1 + ncb]),
+                           slab[0, kf, 1 : 1 + ncb])
+                    emitted += 1
+                    if slab[0, kf, 2 + ncb]:
+                        done = True
+                        break
+        finally:
+            self._slots[0] = _Slot()
+
     def run_until_drained(self) -> Dict[int, Any]:
         """Process queue + in-flight work to completion; return results:
         mode=text -> 1-D token array per request id; mode=audio ->
