@@ -187,3 +187,37 @@ def test_cli_asr_from_tokens(env):
     assert os.path.isfile(results)
     line = open(results).read()
     assert line.startswith("x\t")
+
+
+def test_cli_tts_streaming(env, monkeypatch):
+    """--stream wiring: ContinuousEngine frame streaming + incremental
+    codec decode through the real CLI (chunk-level correctness is pinned
+    in tests/test_stream_tts.py; the untrained tiny model emits no
+    semantic frames, so this smokes the pipeline + empty-stream path)."""
+    import jax
+    from uniaudio2_tpu import cli
+    from uniaudio2_tpu.codec.decoder import CodecConfig, init_decode_params
+    from uniaudio2_tpu.codec.encoder import EncoderConfig
+    from uniaudio2_tpu.codec.tokenizer import ReasoningCodecTokenizer
+
+    codec_cfg = CodecConfig.tiny()
+    dec_params = init_decode_params(jax.random.PRNGKey(0), codec_cfg)
+    real = ReasoningCodecTokenizer(
+        None, dec_params, EncoderConfig.tiny_test(), codec_cfg)
+    monkeypatch.setattr(
+        cli, "load_codec_tokenizer", lambda args, need_decode: real)
+
+    out_dir = str(env["dir"] / "tts_stream_out")
+    cli.main([
+        "--task", "TTS", "--stage", "all", "--stream", "true",
+        "--text", "hello world",
+        "--prompt_text", "speak this",
+        "--llm_train_config", env["yaml"],
+        "--text_tokenizer_path", env["tok_dir"],
+        "--resume", env["npz"],
+        "--output_dir", out_dir,
+        "--model_dtype", "float32",
+        "--max_frames", "6", "--topk", "5",
+        "--codec_steps", "2",
+    ])
+    assert os.path.isfile(os.path.join(out_dir, "wavs", "utt_0.wav"))

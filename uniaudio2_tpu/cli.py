@@ -78,6 +78,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--audio_tokenizer_config", type=str, default=None)
     p.add_argument("--audio_model_path", type=str, default=None)
     p.add_argument("--use_cfg", type=str2bool, default=False)
+    p.add_argument("--stream", type=str2bool, default=False,
+                   help="streaming TTS (stage all, tts-family): waveform "
+                        "chunks are decoded and written as the LLM "
+                        "generates (engine/stream_tts.py); token .pt "
+                        "artifacts are not produced in this mode")
     p.add_argument("--temperature", type=float, default=0.9)
     p.add_argument("--topk", type=int, default=50)
     p.add_argument("--cfg_scale", type=float, default=1.0)
@@ -455,6 +460,80 @@ def run_generation_stage2(args) -> str:
     return wav_dir
 
 
+def run_generation_streaming(args) -> str:
+    """Streaming TTS: one pipeline per utterance — LLM frames stream out of
+    the segment loop, codec windows solve as their tokens arrive, and the
+    finalized waveform grows on disk (`engine/stream_tts.py`)."""
+    import time as _time
+
+    from uniaudio2_tpu.engine.continuous import ContinuousEngine
+    from uniaudio2_tpu.engine.decode import pick_bucket
+    from uniaudio2_tpu.engine.generators import _AUDIO_OUT_TASKS
+    from uniaudio2_tpu.engine.stream_tts import stream_tts
+    from uniaudio2_tpu.codec.tokenizer import save_wav
+
+    task = args.task.strip().lower()
+    if task not in ("tts", "yue_tts"):
+        raise ValueError("--stream supports the TTS family")
+    wav_dir = args.wav_dir or os.path.join(args.output_dir, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    runner = build_runner(args)
+    codec_tok = load_codec_tokenizer(args, need_decode=True)
+    prompt = select_prompt(
+        args.task, prompt_text=args.prompt_text, prompt_json=args.prompt_json
+    )
+    if args.text and args.text.strip():
+        items = [("utt_0", args.text.strip())]
+    elif args.text_file and os.path.isfile(args.text_file):
+        items = [
+            (f"utt_{i}", line.strip())
+            for i, line in enumerate(open(args.text_file, encoding="utf-8"))
+            if line.strip()
+        ]
+    else:
+        raise ValueError("generation requires --text or --text_file")
+
+    ce = None
+    for name, text in items:
+        ids = np.asarray(runner.tok.tokenize(text), np.int64)
+        grid, mask, _ = runner._condition(
+            _AUDIO_OUT_TASKS[task], prompt, {"transcription_seq": ids}
+        )
+        bucket = pick_bucket(grid.shape[0], runner.engine.buckets)
+        if ce is None or ce.bucket != bucket:
+            ce = ContinuousEngine(
+                runner.engine.params, runner.engine.cfg, mode="audio",
+                rows=1, bucket=bucket,
+                cache_len=-(-(bucket + args.max_frames + 1) // 256) * 256,
+                max_frames=args.max_frames, temperature=args.temperature,
+                topk=args.topk, seed=args.seed,
+                cache_dtype=runner.engine.cache_dtype,
+            )
+        chunks = []
+        t0 = _time.perf_counter()
+        ttfa = None
+        for wav in stream_tts(
+            ce, codec_tok.decoder.params, codec_tok.cfg, grid, mask,
+            num_steps=args.codec_steps, codec_seed=args.seed,
+        ):
+            if ttfa is None:
+                ttfa = _time.perf_counter() - t0
+            chunks.append(wav)
+            done_s = sum(c.shape[-1] for c in chunks) / codec_tok.cfg.sample_rate
+            print(f"[Stream] {name}: +{wav.shape[-1]} samples "
+                  f"({done_s:.2f} s audio)")
+        full = (np.concatenate(chunks, axis=-1) if chunks
+                else np.zeros((1, 0), np.float32))
+        out = os.path.join(wav_dir, f"{name}.wav")
+        save_wav(out, full, codec_tok.cfg.sample_rate)
+        total = _time.perf_counter() - t0
+        print(f"[Stream] {name} -> {out} "
+              f"(first audio {ttfa:.2f}s, total {total:.2f}s)"
+              if ttfa is not None else
+              f"[Stream] {name} -> {out} (no audio frames)")
+    return wav_dir
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     args = get_parser().parse_args(argv)
     task = args.task.strip().lower()
@@ -462,6 +541,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         run_understanding(args)
         return
     if task in GENERATION_LOWER:
+        if args.stream:
+            assert args.stage == "all", "--stream implies --stage all"
+            run_generation_streaming(args)
+            print("[Done] Streaming generation finished.")
+            return
         if args.stage in ("1", "all"):
             run_generation_stage1(args)
             if args.stage == "1":

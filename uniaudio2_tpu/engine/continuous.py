@@ -557,6 +557,13 @@ class ContinuousEngine:
             while not done:
                 refills = self._gather_refills()
                 if not refills and self._slots[0].request_id < 0:
+                    if not self._queue.empty():
+                        # request not admissible at this position (cache
+                        # budget spent by earlier streams): reset and retry
+                        self._state = self._fresh_state(self._cache_dtype)
+                        self._pos_host = self.bucket
+                        self.stats["resets"] += 1
+                        continue
                     break
                 self._state, slab = self._segment(
                     self.params, self._state, *self._refill_args(refills))
