@@ -26,22 +26,25 @@ roofline. The BASELINE.json target is >2x, i.e. vs_baseline > 2.0.
 Serving config: weight-only quantization with the unrolled per-layer
 weight layout (`prepare_serving_params`) is ON by default at int4
 everywhere (UA2_BENCH_QUANT: 0=bf16, 1=int8, int4=local decoder+head
-int4 / int8 elsewhere, int4all=default). Measured batch-1 on one
-v5e-class chip (r2, unrolled layout):
+int4 / int8 elsewhere, int4allg=group-wise scales, int4all=default).
+Measured batch-1 on one v5e-class chip (r2 layout + top-k-gather
+sampling):
 
     quant     audio tok/s   ASR frames/s
     bf16          419 (r1, stacked)
-    int8          839.2        145.6
-    int4          881.3
-    int4all      1109.2        180.7
+    int8          906.5
+    int4allg     1070.2
+    int4all      1181-1205      218.1
 
 int4all is the max-throughput serving point (per-output-channel int4 on
 every matrix — the aggressive end of the quality/throughput knob; int8 is
-the conservative default for quality-critical serving). The headline
-metric stays batch-1 to match the reference's per-utterance decode loop
-(the batched path reached 3678 tok/s at batch 8 on the r1 layout).
-UA2_BENCH_TASK=asr measures text-mode decode frames/s instead.
-UA2_BENCH_SCALE=tiny runs a CPU-sized smoke variant.
+the conservative default for quality-critical serving; int4allg trades
+~11% speed for +2.7 dB quantization SNR). The headline metric stays
+batch-1 to match the reference's per-utterance decode loop (the batched
+path reaches 7207 tok/s at batch 8 and 11753 at batch 16). Per-kernel
+profile: docs/profile_decode_r2.md. UA2_BENCH_TASK=asr measures text-mode
+decode frames/s instead. UA2_BENCH_SCALE=tiny runs a CPU-sized smoke
+variant.
 """
 
 from __future__ import annotations
