@@ -97,7 +97,8 @@ def main():
         params = unified.prepare_serving_params(params)
     # max_frames bounds the compiled loop; EOS never fires on random weights
     # only by chance, so force a fixed-length run via the frame cap.
-    engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,))
+    engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,),
+                          approx_topk=os.environ.get("UA2_BENCH_APPROX") == "1")
 
     task = os.environ.get("UA2_BENCH_TASK", "tts")
     if task == "asr":

@@ -81,6 +81,7 @@ def _build_generate(
     use_cfg: bool,
     cache_dtype=jnp.bfloat16,
     cache_sharding=None,
+    approx_topk: bool = False,
 ):
     """Construct the jittable full-generation function for one configuration."""
     ts = cfg.tokens
@@ -147,6 +148,7 @@ def _build_generate(
                 forbid_prefix=s.forbid_prefix,
                 use_cfg=use_cfg, cfg_scale=cfg_scale,
                 sample_text=mode == "text", sample_audio=mode == "audio",
+                approx_topk=approx_topk,
             )
             text_tok = frame[0, 0]          # row 0 = conditioned
             audio_toks = frame[0, 1:]       # (8,)
@@ -243,6 +245,7 @@ def _build_generate_batched(
     use_cfg: bool = False,
     cache_dtype=jnp.bfloat16,
     cache_sharding=None,
+    approx_topk: bool = False,
 ):
     """Batched multi-utterance generation: B independent rows decode in one
     compiled loop with per-row EOS / two-phase state.
@@ -325,6 +328,7 @@ def _build_generate_batched(
                 use_cfg=use_cfg, cfg_scale=cfg_scale,
                 key_valid=key_valid,
                 sample_text=mode == "text", sample_audio=mode == "audio",
+                approx_topk=approx_topk,
             )
             text_tok = frame[:, 0]          # (B,)
             audio_toks = frame[:, 1:]       # (B, 8)
@@ -407,6 +411,7 @@ class DecodeEngine:
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
         mesh=None,
         use_tp: bool = False,
+        approx_topk: bool = False,
     ):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip serving —
         parameters are placed by `parallel/mesh.py`'s specs (FSDP over the
@@ -421,6 +426,7 @@ class DecodeEngine:
             cfg.max_seq_len,
         )
         self._compiled: Dict[Tuple, Any] = {}
+        self.approx_topk = approx_topk
         self._cache_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -435,13 +441,15 @@ class DecodeEngine:
 
     def _get(self, mode: str, bucket: int, temperature: float, topk: int,
              use_cfg: bool):
-        key = (mode, bucket, float(temperature), int(topk), bool(use_cfg))
+        key = (mode, bucket, float(temperature), int(topk), bool(use_cfg),
+               self.approx_topk)
         if key not in self._compiled:
             fn = _build_generate(
                 self.cfg, mode=mode, bucket=bucket,
                 max_frames=self.max_frames, temperature=temperature,
                 topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
                 cache_sharding=self._cache_sharding,
+                approx_topk=self.approx_topk,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -509,13 +517,14 @@ class DecodeEngine:
     def _get_batched(self, mode, bucket, n_rows, temperature, topk,
                      use_cfg=False):
         key = ("batched", mode, bucket, n_rows, float(temperature), int(topk),
-               bool(use_cfg))
+               bool(use_cfg), self.approx_topk)
         if key not in self._compiled:
             fn = _build_generate_batched(
                 self.cfg, mode=mode, bucket=bucket, n_rows=n_rows,
                 max_frames=self.max_frames, temperature=temperature,
                 topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
                 cache_sharding=self._cache_sharding,
+                approx_topk=self.approx_topk,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]

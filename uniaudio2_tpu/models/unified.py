@@ -385,6 +385,7 @@ def decode_frame(
     key_valid: Optional[jax.Array] = None,
     sample_text: bool = True,
     sample_audio: bool = True,
+    approx_topk: bool = False,
 ) -> Tuple[jax.Array, UnifiedCaches]:
     """One AR step: consume the previous frame's (B, 1, 9) tokens at position
     ``pos``, return the next frame's (B, 9) tokens [text, cb0..cb7] — note the
@@ -421,10 +422,12 @@ def decode_frame(
         if use_cfg:
             lg = text_logits.reshape(b // 2, 2, -1)
             mixed = cfg_mix(lg[:, 0], lg[:, 1], cfg_scale)
-            text_sample = sample_topk(key_text, mixed, topk, temperature)
+            text_sample = sample_topk(key_text, mixed, topk, temperature,
+                                      approx=approx_topk)
             text_sample = jnp.repeat(text_sample, 2, axis=0)  # (B,)
         else:
-            text_sample = sample_topk(key_text, text_logits, topk, temperature)
+            text_sample = sample_topk(key_text, text_logits, topk, temperature,
+                                      approx=approx_topk)
     else:
         text_sample = jnp.zeros((b,), jnp.int32)
 
@@ -432,7 +435,7 @@ def decode_frame(
         audio_samples = _local_decoder_generate(
             params, cfg, last_h, key_audio,
             temperature=temperature, topk=topk, forbid_prefix=forbid_prefix,
-            use_cfg=use_cfg, cfg_scale=cfg_scale,
+            use_cfg=use_cfg, cfg_scale=cfg_scale, approx_topk=approx_topk,
         )
     else:
         audio_samples = jnp.zeros((b, cfg.tokens.num_codebooks), jnp.int32)
@@ -451,6 +454,7 @@ def _local_decoder_generate(
     forbid_prefix: jax.Array,
     use_cfg: bool,
     cfg_scale: Optional[jax.Array],
+    approx_topk: bool = False,
 ) -> jax.Array:
     """8 sequential local-decoder steps with a fresh 8-slot KV cache
     (the reference resets the decoder cache every frame,
@@ -492,12 +496,14 @@ def _local_decoder_generate(
             lg = logits.reshape(b // 2, 2, -1)
             mixed = cfg_mix(lg[:, 0], lg[:, 1], cfg_scale)
             sample = sample_topk(
-                key_i, mixed, topk, temperature, forbid_prefix=fp_pair
+                key_i, mixed, topk, temperature, forbid_prefix=fp_pair,
+                approx=approx_topk,
             )
             sample = jnp.repeat(sample, 2, axis=0)  # (B,)
         else:
             sample = sample_topk(
-                key_i, logits, topk, temperature, forbid_prefix=forbid_prefix
+                key_i, logits, topk, temperature,
+                forbid_prefix=forbid_prefix, approx=approx_topk,
             )
         table = params["audio_embeddings"] if proj_table is None else proj_table
         next_h = jnp.take(table, sample + offset_i, axis=0)
