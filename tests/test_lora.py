@@ -34,7 +34,7 @@ def test_scaling_matches_reference_convention():
     """w' - w must equal (alpha/r) * a @ b (transformer_lora.py:345)."""
     cfg = _cfg()
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
-    lora = init_lora(jax.random.PRNGKey(1), params, rank=4, alpha=32.0)
+    lora = init_lora(jax.random.PRNGKey(1), params, rank=4)
     ab = lora["qkv_w"]
     lora["qkv_w"] = {
         "a": ab["a"],

@@ -120,15 +120,9 @@ def test_stream_tts_end_to_end_matches_offline():
     offline_wav = CodecDecoder(cparams, ccfg).decode(
         semantic, num_steps=4, seed=5)
     streamed = np.concatenate(chunks, axis=-1)
-    # the offline facade may pick a fractional window for short clips;
-    # compare against the full-window schedule the stream uses
-    if streamed.shape == np.asarray(offline_wav).shape:
-        sd_ref = StreamingCodecDecoder(cparams, ccfg, num_steps=4, seed=5)
-        ref_full = np.concatenate(
-            [sd_ref.feed(semantic), sd_ref.flush()], axis=-1)
-        np.testing.assert_array_equal(streamed, ref_full)
-    assert streamed.shape[-1] == int(
-        semantic.shape[1] / ccfg.rec_hz * ccfg.sample_rate)
+    # short clips delegate to the offline facade at flush, so the whole
+    # pipeline is bit-identical to (greedy LLM -> offline codec decode)
+    np.testing.assert_array_equal(streamed, np.asarray(offline_wav))
 
 
 def test_stream_tts_glue_with_scripted_llm(codec):
@@ -155,6 +149,10 @@ def test_stream_tts_glue_with_scripted_llm(codec):
 
         def stream(self, grid, mask, max_frames=None):
             yield PHASE_REASON, np.zeros(8, np.int64)      # ignored
+            # generated semantic-BOS frame: offline split drops it
+            # (split_two_phase, decode.py:836-837); the stream must too
+            yield PHASE_SEMANTIC, np.full(
+                (8,), cfg.tokens.semantic_bos + card, np.int64)
             for t in range(sem.shape[1]):
                 yield PHASE_SEMANTIC, sem[:, t] + card
                 if t == 2:
@@ -169,3 +167,18 @@ def test_stream_tts_glue_with_scripted_llm(codec):
     np.testing.assert_array_equal(streamed, ref)
     offline = CodecDecoder(params, ccfg).decode(sem, num_steps=4, seed=9)
     np.testing.assert_array_equal(streamed, np.asarray(offline))
+
+
+def test_streaming_decoder_short_clip_delegates_to_offline(codec):
+    """Clips shorter than one window must match the offline facade's
+    fractional-window decode bit-for-bit (flush delegates wholesale)."""
+    params, cfg = codec
+    win = cfg.window_rec_frames
+    rng = np.random.default_rng(5)
+    for t_rec in (max(2, win // 3), max(3, win - 1)):
+        codes = rng.integers(0, 60, (8, t_rec))
+        offline = CodecDecoder(params, cfg).decode(codes, num_steps=4, seed=7)
+        sd = StreamingCodecDecoder(params, cfg, num_steps=4, seed=7)
+        outs = [sd.feed(codes[:, :1]), sd.feed(codes[:, 1:]), sd.flush()]
+        streamed = np.concatenate(outs, axis=-1)
+        np.testing.assert_array_equal(streamed, np.asarray(offline))

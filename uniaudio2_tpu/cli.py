@@ -475,6 +475,10 @@ def run_generation_streaming(args) -> str:
     task = args.task.strip().lower()
     if task not in ("tts", "yue_tts"):
         raise ValueError("--stream supports the TTS family")
+    if args.use_cfg:
+        raise ValueError(
+            "--stream does not support CFG (ContinuousEngine decodes "
+            "single rows); drop --use_cfg or use the offline --stage all")
     wav_dir = args.wav_dir or os.path.join(args.output_dir, "wavs")
     os.makedirs(wav_dir, exist_ok=True)
     runner = build_runner(args)
@@ -493,15 +497,15 @@ def run_generation_streaming(args) -> str:
     else:
         raise ValueError("generation requires --text or --text_file")
 
-    ce = None
+    engines = {}
     for name, text in items:
         ids = np.asarray(runner.tok.tokenize(text), np.int64)
         grid, mask, _ = runner._condition(
             _AUDIO_OUT_TASKS[task], prompt, {"transcription_seq": ids}
         )
         bucket = pick_bucket(grid.shape[0], runner.engine.buckets)
-        if ce is None or ce.bucket != bucket:
-            ce = ContinuousEngine(
+        if bucket not in engines:
+            engines[bucket] = ContinuousEngine(
                 runner.engine.params, runner.engine.cfg, mode="audio",
                 rows=1, bucket=bucket,
                 cache_len=-(-(bucket + args.max_frames + 1) // 256) * 256,
@@ -509,6 +513,7 @@ def run_generation_streaming(args) -> str:
                 topk=args.topk, seed=args.seed,
                 cache_dtype=runner.engine.cache_dtype,
             )
+        ce = engines[bucket]
         chunks = []
         t0 = _time.perf_counter()
         ttfa = None

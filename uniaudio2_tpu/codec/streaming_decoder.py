@@ -9,13 +9,15 @@ online: a chunk solves as soon as its window of tokens has arrived, and
 the waveform prefix that can no longer change (everything before the next
 chunk's crossfade region) is emitted immediately.
 
-Output is bit-identical to the offline full-window path — same chunk
+Output is bit-identical to the offline `CodecDecoder.decode` — same chunk
 boundaries, same PRNG key sequence, same repeat-padding of the final
-partial window at `flush()` (tested in `test_streaming_decoder.py`).
-Latency: the first audio emerges after `window_rec_frames` tokens (or at
-flush for shorter utterances) and every `hop` frames thereafter — with
-the 30 s window the reference's offline batch behavior is the latency
-floor for long audio, and short utterances pay one chunk solve.
+partial window at `flush()` (tested in `test_stream_tts.py`). Clips that
+never fill the first window delegate the whole decode to the offline
+facade at `flush()`, reproducing its fractional-window selection for
+short utterances exactly (and paying a quarter-window solve instead of a
+padded full-window one). Latency: the first audio emerges after
+`window_rec_frames` tokens (or at flush for shorter utterances) and every
+`hop` frames thereafter.
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ class StreamingCodecDecoder:
         self.guidance_scale = guidance_scale
         self._chunk_fn = self._dec._get_chunk_fn(
             cfg, False, num_steps, guidance_scale)
+        self._seed = seed
         self._key = jax.random.PRNGKey(seed)
 
         self._win = cfg.window_rec_frames
@@ -63,7 +66,8 @@ class StreamingCodecDecoder:
         self._hop_samp = self._win_samp // 4 * 3
         self._ovlp_samp = self._win_samp - self._hop_samp
 
-        self._buf = np.zeros((0, 8), np.int32)     # frame-major rec codes
+        self._ncb = cfg.num_codebooks
+        self._buf = np.zeros((0, self._ncb), np.int32)  # frame-major codes
         self._n_fed = 0
         self._chunks = 0
         self._emitted = 0
@@ -76,8 +80,9 @@ class StreamingCodecDecoder:
     def _solve_chunk(self, rec_win: np.ndarray) -> np.ndarray:
         """One window solve + ScalarAE decode -> (1, win_samp) np.float32."""
         cfg = self.cfg
-        rec_in = jnp.asarray(rec_win[None])        # (1, win, 8)
-        reason_in = jnp.zeros((1, cfg.window_reason_frames, 8), jnp.int32)
+        rec_in = jnp.asarray(rec_win[None])        # (1, win, ncb)
+        reason_in = jnp.zeros(
+            (1, cfg.window_reason_frames, self._ncb), jnp.int32)
         self._key, sub = jax.random.split(self._key)
         if self._chunks == 0:
             ctx = jnp.zeros((1, self._lat_frames, cfg.latent_dim), jnp.float32)
@@ -116,7 +121,7 @@ class StreamingCodecDecoder:
         waveform samples (1, n) — possibly n == 0."""
         assert not self._flushed, "feed() after flush()"
         codes = np.asarray(codes, np.int32)
-        assert codes.ndim == 2 and codes.shape[0] == 8
+        assert codes.ndim == 2 and codes.shape[0] == self._ncb
         self._buf = np.concatenate([self._buf, codes.T], axis=0)
         self._n_fed += codes.shape[1]
         outs = []
@@ -138,8 +143,18 @@ class StreamingCodecDecoder:
         if self._n_fed == 0:       # nothing ever arrived (e.g. empty
             return np.zeros((1, 0), np.float32)    # semantic stream)
         cfg = self.cfg
+        if self._chunks == 0:
+            # no window ever filled: delegate the whole clip to the offline
+            # facade so its fractional-window selection for short clips
+            # (decoder.py:273-282) is reproduced bit-for-bit (also ~4x
+            # cheaper than padding to the full window)
+            wav = np.asarray(self._dec.decode(
+                self._buf.T, num_steps=self.num_steps,
+                guidance_scale=self.guidance_scale, seed=self._seed))
+            self._emitted += wav.shape[-1]
+            return wav
         target = int(self._n_fed / cfg.rec_hz * cfg.sample_rate)
-        buf = self._buf[None]                      # (1, T, 8)
+        buf = self._buf[None]                      # (1, T, ncb)
         n = buf.shape[1]
         if n < self._win:
             buf = _pad_repeat(buf, self._win)

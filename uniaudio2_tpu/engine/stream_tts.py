@@ -50,8 +50,16 @@ def stream_tts(
     sd = StreamingCodecDecoder(
         codec_params, codec_cfg, num_steps=num_steps,
         guidance_scale=guidance_scale, seed=codec_seed)
+    first_semantic = True
     for phase, frame in llm_engine.stream(grid, mask, max_frames):
         if phase == PHASE_SEMANTIC:
+            if first_semantic:
+                # drop the generated semantic-BOS frame, exactly like the
+                # offline split (`split_two_phase`, decode.py:836-837) —
+                # its code (semantic_bos + card) is outside the rec
+                # codebooks and must never reach the codec
+                first_semantic = False
+                continue
             wav = sd.feed((frame.astype(np.int64) - card)[:, None])
             if wav.shape[-1]:
                 yield wav

@@ -36,7 +36,6 @@ def init_lora(
     params: Params,
     *,
     rank: int = 8,
-    alpha: float = 32.0,
     targets: Sequence[str] = DEFAULT_TARGETS,
     dtype=jnp.float32,
 ) -> Params:
@@ -49,14 +48,15 @@ def init_lora(
     layers = params["layers"]
     assert not isinstance(layers, list), (
         "init_lora expects the stacked training layout (not serving form)")
-    del alpha  # scaling is applied at merge time
     out: Params = {}
     for name in targets:
         w = layers[name]
         assert w.ndim == 3, f"{name}: expected stacked (L, in, out)"
         n_l, d_in, d_out = w.shape
         key, sub = jax.random.split(key)
-        bound = math.sqrt(6.0 / d_in)   # kaiming uniform, a=sqrt(5)
+        # torch kaiming_uniform_(a=sqrt(5)) on (r, d): gain sqrt(1/3),
+        # bound = gain * sqrt(3 / fan_in) = 1/sqrt(d_in)
+        bound = 1.0 / math.sqrt(d_in)
         a = jax.random.uniform(
             sub, (n_l, d_in, rank), dtype, minval=-bound, maxval=bound)
         out[name] = {
