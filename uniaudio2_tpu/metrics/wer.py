@@ -69,9 +69,13 @@ _CJK = re.compile(r"[一-鿿㐀-䶿]")
 
 
 def cn_normalize(text: str) -> List[str]:
-    """Chinese scoring units: CJK chars individually, latin words whole
-    (reference `get_wer_cn.py` convention)."""
-    text = basic_normalize(text)
+    """Chinese scoring units: NSW text normalization (digits/dates/currency
+    → hanzi, exactly the reference's `cn_tn.TextNorm` semantics as applied
+    at `wer_tools/get_wer.py:10-24` — see `cn_text_norm.py`), then CJK chars
+    individually, latin words whole (reference `get_wer_cn.py` convention)."""
+    from uniaudio2_tpu.metrics.cn_text_norm import cn_textnorm
+
+    text = basic_normalize(cn_textnorm(text))
     units: List[str] = []
     word = ""
     for ch in text:
