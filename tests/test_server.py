@@ -101,3 +101,49 @@ def test_error_propagates(engine):
         f = srv.submit("text", bad, np.ones((5, 3), bool), topk=1)
         with pytest.raises(Exception):
             f.result(timeout=300)
+
+
+def test_per_request_seed_batch_invariant(engine):
+    """Same request + seed -> same tokens whether batched alone or with
+    others (per-row PRNG streams, VERDICT r2 item 8)."""
+    ts = engine.cfg.tokens
+    items = _grids(ts, 4)
+    g, m = items[1]
+
+    with BatchingServer(engine, max_batch=1, max_wait_ms=1.0) as srv:
+        solo = srv.submit("text", g, m, temperature=0.9, topk=5,
+                          seed=7).result(timeout=300)
+    with BatchingServer(engine, max_batch=4, max_wait_ms=10_000.0) as srv:
+        futs = [
+            srv.submit("text", gg, mm, temperature=0.9, topk=5, seed=100 + i)
+            for i, (gg, mm) in enumerate(items)
+        ]
+        futs[1] = srv.submit("text", g, m, temperature=0.9, topk=5, seed=7)
+        # resubmitting replaced the future; drain all five (batch of 4 + 1)
+        got = [f.result(timeout=300) for f in futs]
+    np.testing.assert_array_equal(np.asarray(solo), np.asarray(got[1]))
+
+
+def test_per_row_seeds_direct_engine(engine):
+    """generate_*_batch(seeds=...): a row's sampled stream depends only on
+    its own seed, and distinct seeds give distinct streams."""
+    ts = engine.cfg.tokens
+    items = _grids(ts, 3)
+    g, m = items[0]
+
+    solo = engine.generate_text_batch([(g, m)], temperature=0.9, topk=5,
+                                      seeds=[42])
+    batched = engine.generate_text_batch(items, temperature=0.9, topk=5,
+                                         seeds=[42, 1, 2])
+    np.testing.assert_array_equal(solo[0], batched[0])
+
+    solo_a = engine.generate_audio_batch([(g, m)], temperature=0.9, topk=5,
+                                         seeds=[42])
+    batched_a = engine.generate_audio_batch(items, temperature=0.9, topk=5,
+                                            seeds=[42, 1, 2])
+    np.testing.assert_array_equal(solo_a[0][0], batched_a[0][0])
+    np.testing.assert_array_equal(solo_a[0][1], batched_a[0][1])
+
+    other = engine.generate_text_batch([(g, m)], temperature=0.9, topk=5,
+                                       seeds=[43])
+    assert not np.array_equal(solo[0], other[0])

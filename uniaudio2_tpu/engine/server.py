@@ -20,10 +20,10 @@ jitted programs):
   (ragged prompts are bucketed/left-packed by the engine).
 * A group launches when it reaches ``max_batch`` or its oldest request has
   waited ``max_wait_ms`` (classic dynamic batching).
-* Per-request PRNG: the batch seed is derived from the first request's
-  seed; requests that need bit-reproducible sampling should be submitted
-  with ``max_batch=1`` or matching seeds (greedy ``topk=1`` is always
-  deterministic and batch-invariant).
+* Per-request PRNG: every request's seed is folded into its own row key
+  (`DecodeEngine.generate_*_batch(seeds=...)`), so a sampled request's
+  output is reproducible regardless of which other requests share its
+  batch (bucket-for-bucket; greedy ``topk=1`` is always deterministic).
 
 Thread safety: `DecodeEngine` calls are serialized by the single worker
 thread; `submit` may be called from any thread.
@@ -172,16 +172,15 @@ class BatchingServer:
         self.stats["batched_requests"] += len(group)
         items = [(r.grid, r.mask) for r in group]
         try:
+            seeds = [r.seed for r in group]
             if mode == "text":
                 outs = self.engine.generate_text_batch(
-                    items, temperature=temperature, topk=topk,
-                    seed=group[0].seed,
+                    items, temperature=temperature, topk=topk, seeds=seeds,
                 )
             else:
                 outs = self.engine.generate_audio_batch(
-                    items, temperature=temperature, topk=topk,
-                    seed=group[0].seed, use_cfg=use_cfg,
-                    cfg_scale=cfg_scale,
+                    items, temperature=temperature, topk=topk, seeds=seeds,
+                    use_cfg=use_cfg, cfg_scale=cfg_scale,
                     neg_items=[r.neg for r in group] if use_cfg else None,
                 )
             for r, out in zip(group, outs):

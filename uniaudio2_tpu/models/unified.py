@@ -416,13 +416,20 @@ def decode_frame(
         new_caches.backbone, new_caches.understanding, new_caches.generation
     )
 
-    key_text, key_audio = jax.random.split(key)
+    if key.ndim == 2:
+        # per-row key streams (B, 2): each row's randomness depends only on
+        # its own key, never on batch composition (server reproducibility)
+        key_text = jax.vmap(jax.random.fold_in, (0, None))(key, 0)
+        key_audio = jax.vmap(jax.random.fold_in, (0, None))(key, 1)
+    else:
+        key_text, key_audio = jax.random.split(key)
     if sample_text:
         text_logits = gpt.lm_head(params["backbone"], last_h, cfg.backbone)  # (B, V_text)
         if use_cfg:
             lg = text_logits.reshape(b // 2, 2, -1)
             mixed = cfg_mix(lg[:, 0], lg[:, 1], cfg_scale)
-            text_sample = sample_topk(key_text, mixed, topk, temperature,
+            kt = key_text[0::2] if key_text.ndim == 2 else key_text
+            text_sample = sample_topk(kt, mixed, topk, temperature,
                                       approx=approx_topk)
             text_sample = jnp.repeat(text_sample, 2, axis=0)  # (B,)
         else:
@@ -473,7 +480,12 @@ def _local_decoder_generate(
     dec_cache = init_cache(dcfg, b, ncb, dtype=last_h.dtype)
     audio_vocab = cfg.tokens.audio_vocab
     cb_offsets = jnp.arange(ncb, dtype=jnp.int32) * audio_vocab
-    keys = jax.random.split(key, ncb)
+    if key.ndim == 2:   # (B, 2) per-row keys -> (ncb, B, 2)
+        keys = jax.vmap(
+            lambda i: jax.vmap(jax.random.fold_in, (0, None))(key, i)
+        )(jnp.arange(ncb))
+    else:
+        keys = jax.random.split(key, ncb)
     proj_table = params.get("audio_embeddings_proj")
 
     # Per-pair forbid_prefix for interleaved CFG rows (pairs share phase
@@ -495,8 +507,9 @@ def _local_decoder_generate(
         if use_cfg:
             lg = logits.reshape(b // 2, 2, -1)
             mixed = cfg_mix(lg[:, 0], lg[:, 1], cfg_scale)
+            ki = key_i[0::2] if key_i.ndim == 2 else key_i
             sample = sample_topk(
-                key_i, mixed, topk, temperature, forbid_prefix=fp_pair,
+                ki, mixed, topk, temperature, forbid_prefix=fp_pair,
                 approx=approx_topk,
             )
             sample = jnp.repeat(sample, 2, axis=0)  # (B,)

@@ -59,6 +59,11 @@ def sample_topk(
     serving temperatures — so it is opt-in for throughput-critical serving,
     never default.
 
+    ``key`` may also be a *batch* of per-row keys with shape ``(B, 2)``
+    matching 2-D ``(B, vocab)`` logits: each row then consumes its own
+    key stream, making a row's samples independent of which other rows
+    share the batch (per-request reproducibility in the batching server).
+
     Args:
         logits: ``(..., vocab)`` float array.
     Returns:
@@ -70,14 +75,27 @@ def sample_topk(
     if topk == 1:
         # Greedy path: bit-identical to the reference's argmax over logits.
         return jnp.argmax(scaled, axis=-1).astype(jnp.int32)
+    per_row = key.ndim == 2
+    if per_row:
+        assert scaled.ndim == 2 and key.shape[0] == scaled.shape[0], (
+            "per-row keys need (B, 2) keys against (B, vocab) logits"
+        )
+
+    def draw(k, shape):
+        if per_row:
+            return jax.vmap(
+                lambda kk: jax.random.gumbel(kk, shape[1:], dtype=jnp.float32)
+            )(k)
+        return jax.random.gumbel(k, shape, dtype=jnp.float32)
+
     if topk <= 0 or topk >= scaled.shape[-1]:
-        gumbel = jax.random.gumbel(key, scaled.shape, dtype=jnp.float32)
+        gumbel = draw(key, scaled.shape)
         return jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
     if approx:
         vals, idxs = jax.lax.approx_max_k(scaled, topk, recall_target=0.95)
     else:
         vals, idxs = jax.lax.top_k(scaled, topk)
-    gumbel = jax.random.gumbel(key, vals.shape, dtype=jnp.float32)
+    gumbel = draw(key, vals.shape)
     choice = jnp.argmax(vals + gumbel, axis=-1)
     return jnp.take_along_axis(
         idxs, choice[..., None], axis=-1
