@@ -129,3 +129,71 @@ def test_offline_audio_mode(setup):
     for (rr, rs), (er, es) in zip(results, expected):
         np.testing.assert_array_equal(rr, np.asarray(er))
         np.testing.assert_array_equal(rs, np.asarray(es))
+
+
+def _cfg_requests(ts, n):
+    reqs = []
+    for i in range(n):
+        prompt = (np.arange(1, 4 + (i % 3)) * 5 + i) % 50
+        text = (np.arange(2, 8) * 3 + i) % 50
+        g, m = tasks.prepare_tts(prompt, text, ts)
+        ng, nm = tasks.prepare_tts_cfg_negative(prompt, text, ts)
+        reqs.append((g, m, ng, nm))
+    return reqs
+
+
+def test_cfg_staggered_matches_static(setup):
+    """CFG through continuous batching: [cond, uncond] admitted as an
+    atomic pair must be greedy-token-identical to the static batched CFG
+    path (VERDICT r2 item 4)."""
+    cfg, params, ref = setup
+    reqs = _cfg_requests(cfg.tokens, 3)
+    expected = [
+        ref.generate_audio(g, m, topk=1, use_cfg=True, cfg_scale=1.5,
+                           neg_grid=ng, neg_mask=nm)
+        for g, m, ng, nm in reqs
+    ]
+
+    # 2 rows = ONE pair slot: 3 requests force staggered pair admission
+    ce = ContinuousEngine(
+        params, cfg, mode="audio", rows=2, bucket=32, seg_frames=4,
+        cache_len=256, max_frames=8, topk=1, use_cfg=True, cfg_scale=1.5,
+        cache_dtype=jnp.float32,
+    )
+    rids = [ce.submit(g, m, neg_grid=ng, neg_mask=nm)
+            for g, m, ng, nm in reqs]
+    results = ce.run_until_drained()
+    assert ce.stats["refills"] == 3
+    for rid, (er, es) in zip(rids, expected):
+        rr, rs = results[rid]
+        np.testing.assert_array_equal(rr, np.asarray(er))
+        np.testing.assert_array_equal(rs, np.asarray(es))
+
+
+def test_cfg_offline_matches_static(setup):
+    cfg, params, ref = setup
+    reqs = _cfg_requests(cfg.tokens, 4)
+    expected = [
+        ref.generate_audio(g, m, topk=1, use_cfg=True, cfg_scale=1.5,
+                           neg_grid=ng, neg_mask=nm)
+        for g, m, ng, nm in reqs
+    ]
+    ce = ContinuousEngine(
+        params, cfg, mode="audio", rows=2, bucket=32, cache_len=256,
+        max_frames=8, topk=1, use_cfg=True, cfg_scale=1.5,
+        cache_dtype=jnp.float32,
+    )
+    results = ce.run_offline([(g, m, ng, nm, 8) for g, m, ng, nm in reqs])
+    for (rr, rs), (er, es) in zip(results, expected):
+        np.testing.assert_array_equal(rr, np.asarray(er))
+        np.testing.assert_array_equal(rs, np.asarray(es))
+
+
+def test_cfg_submit_requires_negative(setup):
+    cfg, params, _ = setup
+    ce = ContinuousEngine(params, cfg, mode="audio", rows=2, bucket=32,
+                          cache_len=128, use_cfg=True,
+                          cache_dtype=jnp.float32)
+    g, m = _requests(cfg.tokens, 1)[0]
+    with pytest.raises(AssertionError):
+        ce.submit(g, m)

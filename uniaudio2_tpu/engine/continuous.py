@@ -29,9 +29,14 @@ All per-frame outputs leave the device as ONE packed int32 slab
 Correctness invariant (tested): a request admitted into a running batch
 produces token-identical greedy output to the same request decoded alone.
 
-CFG pairs are not supported here (use the static batched path for CFG
-generation); sampling parameters are per-engine, like one compiled
-program (requests wanting different temperature/topk go to different
+CFG (``use_cfg=True``, audio mode): rows are [cond, uncond] *pairs* —
+admission writes a request's prompt into row 2p and its pad-substituted
+negative prompt (reference `tts_task.py:171-189`) into row 2p+1 in the
+same refill prologue, per-pair logits are mixed inside
+`unified.decode_frame` (`model_new.py:619-637` semantics) and the sampled
+frame is broadcast to both rows, so pairs stay in lockstep and free
+together. Sampling parameters are per-engine, like one compiled program
+(requests wanting different temperature/topk go to different
 `ContinuousEngine`s or the `BatchingServer`).
 """
 
@@ -129,9 +134,12 @@ def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
 
 
 def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
-                     temperature: float, topk: int):
+                     temperature: float, topk: int,
+                     use_cfg: bool = False, cfg_scale: float = 1.0):
     """One decode frame over the batch -> (state, per-row packed outputs
-    (B, ncb+3) int32: [text, audio x ncb, phase, done])."""
+    (B, ncb+3) int32: [text, audio x ncb, phase, done]). With ``use_cfg``
+    the rows are interleaved [cond, uncond] pairs (guidance mixing inside
+    `decode_frame`; both rows receive the same sampled frame)."""
     ts = cfg.tokens
     ncb = ts.num_codebooks
 
@@ -143,6 +151,7 @@ def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
             params, cfg, s.frame_tokens, s.frame_mask, s.caches, s.pos,
             sub, temperature=temperature, topk=topk,
             forbid_prefix=s.forbid_prefix[:, None],
+            use_cfg=use_cfg, cfg_scale=jnp.float32(cfg_scale),
             key_valid=key_valid,
             sample_text=mode == "text", sample_audio=mode == "audio",
         )
@@ -209,11 +218,14 @@ def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
 
 
 def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
-                   seg_frames: int, temperature: float, topk: int):
+                   seg_frames: int, temperature: float, topk: int,
+                   use_cfg: bool = False, cfg_scale: float = 1.0):
     """Fused refill prologue + K decode frames. ``r_rows[i] < 0`` marks an
-    unused refill lane (the `lax.cond` skips its prefill entirely)."""
+    unused refill lane (the `lax.cond` skips its prefill entirely). A CFG
+    request simply occupies two lanes (cond row 2p, uncond row 2p+1)."""
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
-                                  topk=topk)
+                                  topk=topk, use_cfg=use_cfg,
+                                  cfg_scale=cfg_scale)
 
     def segment(params: Params, s: SlotState, r_rows: jax.Array,
                 r_grids: jax.Array, r_masks: jax.Array, r_lens: jax.Array,
@@ -247,13 +259,15 @@ def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
 
 
 def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
-                 temperature: float, topk: int):
+                 temperature: float, topk: int,
+                 use_cfg: bool = False, cfg_scale: float = 1.0):
     """Decode until every row is inactive or the cache budget ends — the
     whole tail in one dispatch. Returns (state, slab (B, drain_cap, C),
     n_steps)."""
     ncb = cfg.tokens.num_codebooks
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
-                                  topk=topk)
+                                  topk=topk, use_cfg=use_cfg,
+                                  cfg_scale=cfg_scale)
 
     def drain(params: Params, s: SlotState):
         cache_len = s.caches.backbone.k.shape[3]
@@ -282,7 +296,8 @@ def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
 
 
 def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
-                   out_cap: int, temperature: float, topk: int):
+                   out_cap: int, temperature: float, topk: int,
+                   use_cfg: bool = False, cfg_scale: float = 1.0):
     """Fully in-graph continuous batching over a fixed request list: ONE
     dispatch decodes Q requests through B rows, admitting the next queued
     prompt into a row the frame after the row frees (refill-on-completion
@@ -294,11 +309,14 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
     Returns (slab (Q, out_cap, ncb+3), n_frames (Q,)). Rows dump inactive
     frames into a scratch request index Q."""
     ncb = cfg.tokens.num_codebooks
+    pair = 2 if use_cfg else 1
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
-                                  topk=topk)
+                                  topk=topk, use_cfg=use_cfg,
+                                  cfg_scale=cfg_scale)
 
     def offline(params: Params, s: SlotState, q_grids: jax.Array,
                 q_masks: jax.Array, q_lens: jax.Array, q_caps: jax.Array):
+        # with use_cfg, q_grids/q_masks are (Q, 2, bucket, 9): [cond, uncond]
         n_q = q_grids.shape[0]
         b = s.active.shape[0]
         cache_len = s.caches.backbone.k.shape[3]
@@ -313,7 +331,8 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
             out: jax.Array         # (Q+1, out_cap, ncb+3)
             n_frames: jax.Array    # (Q,)
 
-        def admit_row(r, c):
+        def admit_row(p, c):
+            r = p * pair          # CFG: admit into the pair (2p, 2p+1)
             can = ((c.row_req[r] < 0)
                    & (c.next_q < n_q)
                    & (cache_len - 1 - c.s.pos
@@ -321,11 +340,23 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
 
             def do(c):
                 qi = jnp.minimum(c.next_q, n_q - 1)
-                s = _refill_one(
-                    params, cfg, c.s, r,
-                    jax.lax.dynamic_slice_in_dim(q_grids, qi, 1, axis=0),
-                    jax.lax.dynamic_slice_in_dim(q_masks, qi, 1, axis=0),
-                    q_lens[qi], q_caps[qi], bucket)
+                if use_cfg:
+                    s = _refill_one(
+                        params, cfg, c.s, r,
+                        jax.lax.dynamic_slice_in_dim(q_grids[:, 0], qi, 1, 0),
+                        jax.lax.dynamic_slice_in_dim(q_masks[:, 0], qi, 1, 0),
+                        q_lens[qi], q_caps[qi], bucket)
+                    s = _refill_one(
+                        params, cfg, s, r + 1,
+                        jax.lax.dynamic_slice_in_dim(q_grids[:, 1], qi, 1, 0),
+                        jax.lax.dynamic_slice_in_dim(q_masks[:, 1], qi, 1, 0),
+                        q_lens[qi], q_caps[qi], bucket)
+                else:
+                    s = _refill_one(
+                        params, cfg, c.s, r,
+                        jax.lax.dynamic_slice_in_dim(q_grids, qi, 1, axis=0),
+                        jax.lax.dynamic_slice_in_dim(q_masks, qi, 1, axis=0),
+                        q_lens[qi], q_caps[qi], bucket)
                 return c._replace(
                     s=s, next_q=c.next_q + 1,
                     row_req=c.row_req.at[r].set(qi),
@@ -351,9 +382,9 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
             # carrying a prefill branch) only run when a slot is free AND
             # work is queued — on most frames this is one cheap branch
             c = jax.lax.cond(
-                jnp.any(c.row_req < 0) & (c.next_q < n_q),
+                jnp.any(c.row_req[::pair] < 0) & (c.next_q < n_q),
                 lambda c: jax.lax.fori_loop(
-                    0, b, lambda r, c: admit_row(r, c), c),
+                    0, b // pair, lambda p, c: admit_row(p, c), c),
                 lambda c: c,
                 c,
             )
@@ -364,8 +395,9 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
             emitted = (c.row_req >= 0).astype(jnp.int32)
             row_frame = c.row_frame + emitted
             done = packed[:, ncb + 2] > 0
+            # odd CFG rows carry row_req -1; never let them index n_frames
             n_frames = c.n_frames.at[
-                jnp.where(done, c.row_req, n_q)
+                jnp.where(done & (c.row_req >= 0), c.row_req, n_q)
             ].set(jnp.minimum(row_frame, out_cap), mode="drop")
             row_req = jnp.where(done, -1, c.row_req)
             return C(s, c.next_q, row_req, row_frame, out, n_frames)
@@ -398,6 +430,8 @@ class _Request:
     grid: np.ndarray
     mask: np.ndarray
     max_frames: int
+    neg_grid: Optional[np.ndarray] = None
+    neg_mask: Optional[np.ndarray] = None
 
 
 class ContinuousEngine:
@@ -415,26 +449,34 @@ class ContinuousEngine:
                  seg_frames: int = 16, cache_len: int = 512,
                  max_frames: int = 128, temperature: float = 0.9,
                  topk: int = 1, seed: int = 888,
+                 use_cfg: bool = False, cfg_scale: float = 1.0,
                  cache_dtype=jnp.bfloat16):
         assert mode in ("text", "audio")
+        if use_cfg:
+            assert mode == "audio", "CFG guides audio generation (TTS/TTA)"
+            assert rows % 2 == 0, "CFG rows come in [cond, uncond] pairs"
         self.params = params
         self.cfg = cfg
         self.mode = mode
         self.rows = rows
+        self.use_cfg = use_cfg
+        self._pair = 2 if use_cfg else 1
         self.bucket = bucket
         self.seg_frames = seg_frames
         self.cache_len = cache_len
         self.max_frames = max_frames
         self._queue: "queue.Queue[_Request]" = queue.Queue()
-        self._slots = [_Slot() for _ in range(rows)]
+        self._slots = [_Slot() for _ in range(rows // self._pair)]
         self._results: Dict[int, Any] = {}
         self._next_rid = 0
         self._segment = jax.jit(_build_segment(
             cfg, mode=mode, bucket=bucket, seg_frames=seg_frames,
-            temperature=temperature, topk=topk), donate_argnums=(1,))
+            temperature=temperature, topk=topk, use_cfg=use_cfg,
+            cfg_scale=cfg_scale), donate_argnums=(1,))
         self._drain = jax.jit(_build_drain(
             cfg, mode=mode, drain_cap=cache_len - bucket,
-            temperature=temperature, topk=topk), donate_argnums=(1,))
+            temperature=temperature, topk=topk, use_cfg=use_cfg,
+            cfg_scale=cfg_scale), donate_argnums=(1,))
         self._key = jax.random.PRNGKey(seed)
         self._state = self._fresh_state(cache_dtype)
         self._pos_host = self.bucket   # mirrors state.pos (no device reads)
@@ -442,6 +484,7 @@ class ContinuousEngine:
         self._cache_dtype = cache_dtype
         self._temperature = temperature
         self._topk = topk
+        self._cfg_scale = cfg_scale
 
     def _fresh_state(self, cache_dtype=jnp.bfloat16) -> SlotState:
         b = self.rows
@@ -464,55 +507,90 @@ class ContinuousEngine:
     # -- client API --------------------------------------------------------
 
     def submit(self, grid: np.ndarray, mask: np.ndarray,
-               max_frames: Optional[int] = None) -> int:
-        """Enqueue one request (grid from `engine/tasks.py`). Returns id."""
+               max_frames: Optional[int] = None,
+               neg_grid: Optional[np.ndarray] = None,
+               neg_mask: Optional[np.ndarray] = None) -> int:
+        """Enqueue one request (grid from `engine/tasks.py`). Returns id.
+        Under ``use_cfg`` a negative (pad-substituted, same-length) prompt
+        is required (`tasks.build_cfg_negative_grid`)."""
         assert grid.shape[0] <= self.bucket, (
             f"prompt ({grid.shape[0]}) exceeds bucket ({self.bucket})")
+        if self.use_cfg:
+            assert neg_grid is not None and neg_mask is not None, (
+                "use_cfg engines need a negative prompt per request")
+            assert neg_grid.shape == grid.shape, (
+                "CFG negative prompt must match the prompt length "
+                "(pad-substitution, tts_task.py:171-189)")
+        else:
+            assert neg_grid is None and neg_mask is None
         mf = max_frames or self.max_frames
         assert mf <= self.cache_len - 1 - self.bucket, (
             f"max_frames ({mf}) can never fit the cache budget "
             f"({self.cache_len - 1 - self.bucket} frames after the bucket)")
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.put(_Request(rid, np.asarray(grid), np.asarray(mask), mf))
+        self._queue.put(_Request(
+            rid, np.asarray(grid), np.asarray(mask), mf,
+            None if neg_grid is None else np.asarray(neg_grid),
+            None if neg_mask is None else np.asarray(neg_mask)))
         return rid
 
     def run_offline(self, requests, max_frames: Optional[int] = None
                     ) -> List[Any]:
         """Fully in-graph continuous batching over a known request list
         (offline batch-eval throughput mode): ONE device dispatch decodes
-        all ``requests`` (list of (grid, mask) or (grid, mask, max_frames))
+        all ``requests`` (list of (grid, mask) or (grid, mask, max_frames);
+        under ``use_cfg``: (grid, mask, neg_grid, neg_mask[, max_frames]))
         with in-loop refill-on-completion. Returns results in input order
         (same formats as `run_until_drained`)."""
         prepared = []
         for item in requests:
             g, m = item[0], item[1]
-            mf = item[2] if len(item) > 2 else (max_frames or self.max_frames)
+            if self.use_cfg:
+                ng, nm = item[2], item[3]
+                assert ng.shape == g.shape
+                mf = item[4] if len(item) > 4 else (
+                    max_frames or self.max_frames)
+                neg = (np.asarray(ng), np.asarray(nm))
+            else:
+                mf = item[2] if len(item) > 2 else (
+                    max_frames or self.max_frames)
+                neg = None
             assert g.shape[0] <= self.bucket
             assert mf <= self.cache_len - 1 - self.bucket
-            prepared.append((np.asarray(g), np.asarray(m), int(mf)))
+            prepared.append((np.asarray(g), np.asarray(m), int(mf), neg))
         # longest-processing-time-first admission: rows stay balanced and
         # the makespan tail (one long request decoding alone) shrinks
         order = sorted(range(len(prepared)),
                        key=lambda i: -prepared[i][2])
         prepared = [prepared[i] for i in order]
         n_q = len(prepared)
-        out_cap = max(mf for _, _, mf in prepared)
+        out_cap = max(mf for _, _, mf, _ in prepared)
         key = (n_q, out_cap)
         if getattr(self, "_offline_key", None) != key:
             self._offline_key = key
             self._offline = jax.jit(_build_offline(
                 self.cfg, mode=self.mode, bucket=self.bucket,
                 out_cap=out_cap, temperature=self._temperature,
-                topk=self._topk))
-        grids = np.zeros((n_q, self.bucket, 9), np.int64)
-        masks = np.zeros((n_q, self.bucket, 9), bool)
+                topk=self._topk, use_cfg=self.use_cfg,
+                cfg_scale=self._cfg_scale))
+        pair = self._pair
+        qshape = ((n_q, 2, self.bucket, 9) if self.use_cfg
+                  else (n_q, self.bucket, 9))
+        grids = np.zeros(qshape, np.int64)
+        masks = np.zeros(qshape, bool)
         lens = np.zeros((n_q,), np.int32)
         caps = np.zeros((n_q,), np.int32)
-        for i, (g, m, mf) in enumerate(prepared):
+        for i, (g, m, mf, neg) in enumerate(prepared):
             L = g.shape[0]
-            grids[i, self.bucket - L:] = g
-            masks[i, self.bucket - L:] = m
+            if self.use_cfg:
+                grids[i, 0, self.bucket - L:] = g
+                masks[i, 0, self.bucket - L:] = m
+                grids[i, 1, self.bucket - L:] = neg[0]
+                masks[i, 1, self.bucket - L:] = neg[1]
+            else:
+                grids[i, self.bucket - L:] = g
+                masks[i, self.bucket - L:] = m
             lens[i] = L
             caps[i] = mf
         state = self._fresh_state(self._cache_dtype)
@@ -547,6 +625,7 @@ class ContinuousEngine:
         semantic-phase codes still carry the +audio_reason_card offset."""
         assert self.mode == "audio" and self.rows == 1, (
             "stream() needs a rows=1 audio-mode engine")
+        assert not self.use_cfg, "stream() does not support CFG pairs"
         assert self._queue.empty() and self._slots[0].request_id < 0
         mf = max_frames or self.max_frames
         self.submit(grid, mask, mf)
@@ -635,13 +714,20 @@ class ContinuousEngine:
         masks = np.zeros((n, self.bucket, 9), bool)
         lens = np.zeros((n,), np.int32)
         caps = np.zeros((n,), np.int32)
-        for i, (r, req) in enumerate(refills):
-            L = req.grid.shape[0]
-            rows[i] = r
-            grids[i, self.bucket - L:] = req.grid
-            masks[i, self.bucket - L:] = req.mask
-            lens[i] = L
-            caps[i] = req.max_frames
+        lane = 0
+        for r, req in refills:
+            # a CFG request takes two lanes: cond row 2p, uncond row 2p+1
+            prompts = [(req.grid, req.mask)]
+            if self.use_cfg:
+                prompts.append((req.neg_grid, req.neg_mask))
+            for j, (g, m) in enumerate(prompts):
+                L = g.shape[0]
+                rows[lane] = r * self._pair + j
+                grids[lane, self.bucket - L:] = g
+                masks[lane, self.bucket - L:] = m
+                lens[lane] = L
+                caps[lane] = req.max_frames
+                lane += 1
         return (jnp.asarray(rows), jnp.asarray(grids), jnp.asarray(masks),
                 jnp.asarray(lens), jnp.asarray(caps))
 
@@ -661,19 +747,20 @@ class ContinuousEngine:
 
     def _harvest(self, slab: np.ndarray):
         ncb = self.cfg.tokens.num_codebooks
-        for r, slot in enumerate(self._slots):
+        for u, slot in enumerate(self._slots):
             if slot.request_id < 0:
                 continue
+            r = u * self._pair      # CFG reads the cond row of the pair
             for kf in range(slab.shape[1]):
                 slot.text.append(int(slab[r, kf, 0]))
                 slot.audio.append(slab[r, kf, 1 : 1 + ncb])
                 slot.phase.append(int(slab[r, kf, 1 + ncb]))
                 if slab[r, kf, 2 + ncb]:
-                    self._finalize(r)
+                    self._finalize(u)
                     break
             else:
                 if len(slot.text) >= slot.max_frames:
-                    self._finalize(r)
+                    self._finalize(u)
 
     def _finalize(self, r: int):
         slot = self._slots[r]
