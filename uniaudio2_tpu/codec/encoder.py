@@ -144,6 +144,49 @@ def film(
     return gamma * x + beta
 
 
+def fuse_and_quantize(
+    params: Params,
+    whisper_f: jax.Array,     # (B, T50, d_whisper) 50 Hz tower features
+    wavlm_f: jax.Array,       # (B, T50, d_wavlm)
+    bestrq_ac: jax.Array,     # (B, T25, d_bestrq) 25 Hz
+    bestrq_sem: jax.Array,    # (B, T25, d_bestrq)
+    reason_q: jax.Array,      # (B, T5, codec_dim) quantized reasoning
+) -> jax.Array:
+    """Tower features + quantized reasoning -> rec codes (B, T12.5, 8).
+
+    The encode fusion chain of `fetch_codes_batch`
+    (`AudioDiffusion1D.py:515-551`): reason adaptor + x2.5 upsample,
+    stride-4/4/2/2 VALID downsample convs, per-branch condition-fusion
+    linears, FiLM from reasoning, three RVQ nearest-neighbour encodes
+    (phone 1 ‖ structure 1 ‖ acoustic 6), min-length concat."""
+    rf = reason_q @ params["reason_adaptor"]["w"] + params["reason_adaptor"]["b"]
+    rf = _upsample_nearest(rf, 2.5)      # 5 Hz -> 12.5 Hz
+
+    whisper_ds = _dconv(whisper_f, params["d_conv_whisper"], 4)
+    wavlm_ds = _dconv(wavlm_f, params["d_conv_wavlm"], 4)
+    sem_ds = _dconv(bestrq_sem, params["d_conv_semantic"], 2)
+    ac_ds = _dconv(bestrq_ac, params["d_conv_acoustic"], 2)
+
+    phone = wavlm_ds @ params["fusion_phone"]["w"] + params["fusion_phone"]["b"]
+    phone = film(phone, rf, params["film_phone"])
+    codes_phone, _ = rvq.encode(params["rvq_phone"], phone)
+
+    sem = sem_ds @ params["fusion_semantic"]["w"] + params["fusion_semantic"]["b"]
+    sem = film(sem, rf, params["film_semantic"])
+    codes_sem, _ = rvq.encode(params["rvq_semantic"], sem)
+
+    tl = min(ac_ds.shape[1], whisper_ds.shape[1])
+    ac = jnp.concatenate([ac_ds[:, :tl], whisper_ds[:, :tl]], -1)
+    ac = ac @ params["fusion_acoustic"]["w"] + params["fusion_acoustic"]["b"]
+    ac = film(ac, rf, params["film_acoustic"])
+    codes_ac, _ = rvq.encode(params["rvq_acoustic"], ac)
+
+    tmin = min(codes_phone.shape[1], codes_sem.shape[1], codes_ac.shape[1])
+    return jnp.concatenate(
+        [codes_phone[:, :tmin], codes_sem[:, :tmin], codes_ac[:, :tmin]], -1
+    )
+
+
 def encode_window(
     params: Params,
     enc_cfg: EncoderConfig,
@@ -183,31 +226,8 @@ def encode_window(
     reason_codes, reason_q = reas.encode(
         rp, enc_cfg.reasoning, whisper_f, bestrq_sem
     )
-    rf = reason_q @ params["reason_adaptor"]["w"] + params["reason_adaptor"]["b"]
-    rf = _upsample_nearest(rf, 2.5)      # 5 Hz -> 12.5 Hz
-
     # --- reconstruction branches (12.5 Hz) ---
-    whisper_ds = _dconv(whisper_f, params["d_conv_whisper"], 4)
-    wavlm_ds = _dconv(wavlm_f, params["d_conv_wavlm"], 4)
-    sem_ds = _dconv(bestrq_sem, params["d_conv_semantic"], 2)
-    ac_ds = _dconv(bestrq_ac, params["d_conv_acoustic"], 2)
-
-    phone = wavlm_ds @ params["fusion_phone"]["w"] + params["fusion_phone"]["b"]
-    phone = film(phone, rf, params["film_phone"])
-    codes_phone, _ = rvq.encode(params["rvq_phone"], phone)
-
-    sem = sem_ds @ params["fusion_semantic"]["w"] + params["fusion_semantic"]["b"]
-    sem = film(sem, rf, params["film_semantic"])
-    codes_sem, _ = rvq.encode(params["rvq_semantic"], sem)
-
-    tl = min(ac_ds.shape[1], whisper_ds.shape[1])
-    ac = jnp.concatenate([ac_ds[:, :tl], whisper_ds[:, :tl]], -1)
-    ac = ac @ params["fusion_acoustic"]["w"] + params["fusion_acoustic"]["b"]
-    ac = film(ac, rf, params["film_acoustic"])
-    codes_ac, _ = rvq.encode(params["rvq_acoustic"], ac)
-
-    tmin = min(codes_phone.shape[1], codes_sem.shape[1], codes_ac.shape[1])
-    rec_codes = jnp.concatenate(
-        [codes_phone[:, :tmin], codes_sem[:, :tmin], codes_ac[:, :tmin]], -1
+    rec_codes = fuse_and_quantize(
+        params, whisper_f, wavlm_f, bestrq_ac, bestrq_sem, reason_q
     )
     return reason_codes, rec_codes
