@@ -145,3 +145,35 @@ def test_streaming_chunk_frames_gt1(setup):
     got = np.concatenate([enc.feed(wav[: 5 * frame]),
                           enc.feed(wav[5 * frame :])], axis=1)
     np.testing.assert_array_equal(got, offline)
+
+
+def test_encoder_flush_partial_tail_chunked(setup):
+    """chunk_frames>1 + non-multiple length: flush must emit exactly the
+    frames offline encode produces for the partial tail, not a full padded
+    chunk (ADVICE r2: flush over-emitted up to chunk_frames-1 frames)."""
+    params, cfg = setup
+    frame = _frame_samples(cfg)
+    wav = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(11), (frame * 7 + frame // 2,))
+    ).astype(np.float32) * 0.1
+    offline = np.asarray(mimi.encode(params, cfg, jax.numpy.asarray(wav)[None]))[0]
+
+    enc = StreamingMimiEncoder(params, cfg, chunk_frames=3)
+    got = np.concatenate([enc.feed(wav), enc.flush()], axis=1)
+    assert got.shape == offline.shape  # 8 frames, not 9
+    np.testing.assert_array_equal(got, offline)
+
+
+def test_decoder_flush_partial_tail_chunked(setup):
+    """chunk_frames>1: a partial code tail is no longer silently dropped —
+    flush() emits its samples, matching offline decode (ADVICE r2)."""
+    params, cfg = setup
+    frame = _frame_samples(cfg)
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, cfg.codebook_size, (cfg.rvq_layers, 7))
+    offline = np.asarray(mimi.decode(params, cfg, jax.numpy.asarray(codes)[None]))[0]
+
+    dec = StreamingMimiDecoder(params, cfg, chunk_frames=3)
+    got = np.concatenate([dec.feed(codes), dec.flush()])
+    assert got.shape[0] == 7 * frame
+    np.testing.assert_allclose(got, offline[: 7 * frame], atol=1e-5)

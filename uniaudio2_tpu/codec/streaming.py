@@ -80,11 +80,20 @@ class StreamingMimiEncoder:
         return np.concatenate(outs, axis=1).astype(np.int64)
 
     def flush(self) -> np.ndarray:
-        """Pad the partial tail to a full chunk with zeros and emit it."""
-        rem = self._buffer.shape[0] % self.chunk_samples
-        if rem == 0 and self._buffer.shape[0] == 0:
+        """Emit the frames of the partial tail, matching offline
+        `mimi.encode`'s pad-to-frame-boundary: the buffered samples are
+        zero-padded to a full *chunk* for the compiled step, but only
+        ``ceil(buffered / frame)`` frames are returned (the extra pad
+        frames the chunk step produces are dropped — encoding is causal,
+        so the kept frames are unaffected by the pad). Terminal: call
+        `reset()` before streaming a new clip."""
+        buffered = self._buffer.shape[0]
+        if buffered == 0:
             return np.zeros((self.cfg.rvq_layers, 0), np.int64)
-        return self.feed(np.zeros(self.chunk_samples - rem, np.float32))
+        owed = -(-buffered // self.frame)
+        pad = self.chunk_samples - (buffered % self.chunk_samples)
+        codes = self.feed(np.zeros(pad % self.chunk_samples, np.float32))
+        return codes[:, :owed]
 
 
 class StreamingMimiDecoder:
@@ -127,3 +136,17 @@ class StreamingMimiDecoder:
         if not outs:
             return np.zeros((0,), np.float32)
         return np.concatenate(outs).astype(np.float32)
+
+    def flush(self) -> np.ndarray:
+        """Emit the samples of a partial code tail (< chunk_frames codes):
+        the tail is zero-code-padded to a full chunk for the compiled step
+        and the output is trimmed to ``n_real_codes * frame`` samples
+        (decoding is causal, so real frames' samples are unaffected by the
+        pad codes). Terminal: call `reset()` before streaming a new clip."""
+        rem = self._codes.shape[1]
+        if rem == 0:
+            return np.zeros((0,), np.float32)
+        pad = np.zeros((self.cfg.rvq_layers, self.chunk_frames - rem),
+                       np.int32)
+        wav = self.feed(pad)
+        return wav[: rem * self.frame]

@@ -386,7 +386,8 @@ def decode_step(
             and all(
                 fused_attn_step.can_fuse_step(
                     l, x, key_valid=key_valid,
-                    k_cache=cache.k[0], v_cache=cache.v[0])
+                    k_cache=cache.k[0], v_cache=cache.v[0],
+                    rope_width=cos.shape[-1], head_size=cfg.head_size)
                 for l in params["layers"]
             )
         )

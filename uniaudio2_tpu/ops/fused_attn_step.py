@@ -150,15 +150,22 @@ def _kernel(
 
 
 def can_fuse_step(layer, x: jax.Array, *, window=None, softcap=None,
-                  key_valid=None, k_cache=None, v_cache=None) -> bool:
+                  key_valid=None, k_cache=None, v_cache=None,
+                  rope_width=None, head_size=None) -> bool:
     """The serving gate: batch-1 single-token int4 decode, no exotic
     attention options, and the kernel's FULL resident set — packed QKV,
     both K/V cache blocks, the chunked unpack transient, and activations —
     within the VMEM budget (a compile-time VMEM OOM wedges the remote TPU
-    toolchain; see the module docstring)."""
+    toolchain; see the module docstring). ``rope_width``/``head_size``
+    decline partial-rotary configs (rotary_percentage < 1): the kernel
+    applies rope across the full head, so a narrower cos table must fall
+    back to the composed path instead of mis-rotating (ADVICE r2)."""
     if x.ndim != 3 or x.shape[0] != 1 or x.shape[1] != 1:
         return False
     if window is not None or softcap is not None or key_valid is not None:
+        return False
+    if rope_width is not None and head_size is not None \
+            and rope_width != head_size:
         return False
     qkv_w = layer["qkv_w"]
     if not isinstance(qkv_w, (QuantizedLinear4, QuantizedLinear4G)):
