@@ -146,3 +146,29 @@ def test_param_specs_fire_for_quantized_serving_layout():
     assert layer["mlp_proj_w"].values == P("tp", "fsdp")  # row-parallel
     assert layer["norm1_w"] == P()
     assert specs["audio_head"][0].values == P("fsdp", "tp")
+
+
+def test_fit_spec_to_mesh_indivisible_dims():
+    """fsdp=8 must not fail on leaves whose sharded dim is indivisible
+    (stacked-norm (28, D) — found by the full-scale compile check): the
+    offending entry falls back to replication, divisible entries stay."""
+    from jax.sharding import PartitionSpec as P
+
+    m = meshlib.build_mesh(replica=1, fsdp=8, tp=1)
+    # 28 % 8 != 0 -> replicate dim 0; 3072 % 8 == 0 -> keep
+    assert meshlib.fit_spec_to_mesh(P("fsdp"), (28, 3072), m) == P()
+    assert meshlib.fit_spec_to_mesh(P(None, "fsdp"), (28, 3072), m) \
+        == P(None, "fsdp")
+    assert meshlib.fit_spec_to_mesh(P("fsdp", "tp"), (64, 3072), m) \
+        == P("fsdp", "tp")
+    # tuple entries use the axis-product
+    m2 = meshlib.build_mesh(replica=2, fsdp=4, tp=1)
+    assert meshlib.fit_spec_to_mesh(P(("replica", "fsdp")), (24,), m2) \
+        == P(("replica", "fsdp"))
+    assert meshlib.fit_spec_to_mesh(P(("replica", "fsdp")), (28,), m2) == P()
+
+    # end to end: full-depth backbone config shards at fsdp=8
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    sharded = meshlib.shard_params(params, m)
+    jax.block_until_ready(sharded)

@@ -154,9 +154,40 @@ def unified_param_specs(params: Dict[str, Any], use_tp: bool = False):
     return jax.tree_util.tree_map_with_path(spec_fn, params)
 
 
+def fit_spec_to_mesh(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Replicate any spec entry whose mesh-axis product does not divide its
+    dimension, instead of failing at placement (e.g. the stacked-norm
+    (n_layer, D) leaf under fsdp=8 with n_layer=28 — the rules are written
+    mesh-agnostically, so indivisible dims fall back toward replication)."""
+    entries = tuple(spec) + (None,) * (len(shape) - len(spec))
+    out = []
+    for dim, entry in zip(shape, entries):
+        if entry is None:
+            out.append(None)
+            continue
+        names = entry if isinstance(entry, tuple) else (entry,)
+        prod = 1
+        for nm in names:
+            prod *= mesh.shape[nm]
+        out.append(entry if dim % prod == 0 else None)
+    while out and out[-1] is None:
+        out.pop()
+    return P(*out)
+
+
+def fit_specs_to_mesh(specs, params, mesh: Mesh):
+    """Apply `fit_spec_to_mesh` across a spec pytree (leaves aligned with
+    ``params`` — arrays or ShapeDtypeStructs)."""
+    return jax.tree_util.tree_map(
+        lambda p, s: fit_spec_to_mesh(s, p.shape, mesh), params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def shard_params(params: Dict[str, Any], mesh: Mesh, use_tp: bool = False):
     """Place parameters on the mesh according to the spec rules."""
-    specs = unified_param_specs(params, use_tp)
+    specs = fit_specs_to_mesh(
+        unified_param_specs(params, use_tp), params, mesh)
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
     )
