@@ -285,3 +285,78 @@ def test_grouped_scales_improve_snr():
     snr_gc = snr(quant.dequantize4_cols_grouped(
         quant.quantize4_cols_grouped(wj, 128), jnp.float32))
     assert snr_gc > snr_pc + 2.0, (snr_pc, snr_gc)
+
+
+@pytest.mark.parametrize("bits", [8, 4, "4g"])
+def test_fused_swiglu_norm_residual_fold(bits):
+    """norm_w/residual folding: one kernel == rmsnorm -> swiglu -> +x."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from uniaudio2_tpu.ops import fused_mlp
+    from uniaudio2_tpu.ops.norms import rms_norm
+
+    k, i = 256, 512
+    n = k                              # residual requires N == K
+    rng = jax.random.PRNGKey(21)
+    k1, k2, k3, kx, kn = jax.random.split(rng, 5)
+    w1 = jax.random.normal(k1, (k, i)) * 0.05
+    w2 = jax.random.normal(k2, (k, i)) * 0.05
+    w3 = jax.random.normal(k3, (i, n)) * 0.05
+    x = jax.random.normal(kx, (2, k), jnp.float32)
+    nw = 1.0 + jax.random.normal(kn, (k,)) * 0.1
+    if bits == 8:
+        q1, q2, q3 = quant.quantize(w1), quant.quantize(w2), quant.quantize(w3)
+        d3 = quant.dequantize(q3, jnp.float32)
+        d1, d2 = (quant.dequantize(q, jnp.float32) for q in (q1, q2))
+    elif bits == "4g":
+        q1, q2 = quant.quantize4_grouped(w1), quant.quantize4_grouped(w2)
+        q3 = quant.quantize4_cols_grouped(w3)
+        d1 = quant.dequantize4_grouped(q1, jnp.float32)
+        d2 = quant.dequantize4_grouped(q2, jnp.float32)
+        d3 = quant.dequantize4_cols_grouped(q3, jnp.float32)
+    else:
+        q1, q2 = quant.quantize4(w1), quant.quantize4(w2)
+        q3 = quant.quantize4_cols(w3)
+        d1 = quant.dequantize4(q1, jnp.float32)
+        d2 = quant.dequantize4(q2, jnp.float32)
+        d3 = quant.dequantize4_cols(q3, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mlp.fused_swiglu(x, q1, q2, q3, norm_w=nw,
+                                     norm_eps=1e-5, residual=x)
+    xn = np.asarray(rms_norm(x, nw, 1e-5))
+    h = jax.nn.silu(xn @ np.asarray(d1)) * (xn @ np.asarray(d2))
+    ref = np.asarray(x) + np.asarray(h) @ np.asarray(d3)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4", "int4g"])
+def test_matmul_pre_norm_fold(kind):
+    """pre_norm=(w, eps) in the quantized matmul kernels == rmsnorm first."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from uniaudio2_tpu.ops.norms import rms_norm
+
+    k, n = 256, 384
+    rng = jax.random.PRNGKey(22)
+    kw, kx, kn = jax.random.split(rng, 3)
+    w = jax.random.normal(kw, (k, n)) * 0.05
+    x = jax.random.normal(kx, (3, k), jnp.float32)
+    nw = 1.0 + jax.random.normal(kn, (k,)) * 0.1
+    q = {"int8": quant.quantize, "int4": quant.quantize4,
+         "int4g": quant.quantize4_grouped}[kind](w)
+    deq = {"int8": quant.dequantize, "int4": quant.dequantize4,
+           "int4g": quant.dequantize4_grouped}[kind](q, jnp.float32)
+    fn = {"int8": quant._pallas_int8_matmul,
+          "int4": quant._pallas_int4_matmul,
+          "int4g": quant._pallas_int4g_matmul}[kind]
+    with pltpu.force_tpu_interpret_mode():
+        out = fn(x, q.values, q.scale, pre_norm=(nw, 1e-5))
+    ref = np.asarray(rms_norm(x, nw, 1e-5)) @ np.asarray(deq)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=2e-2, atol=2e-3)
+
+    # dispatcher fallback path agrees too
+    out2 = quant.matmul(x, q, pre_norm=(nw, 1e-5))
+    np.testing.assert_allclose(np.asarray(out2, np.float32), ref,
+                               rtol=2e-2, atol=2e-3)

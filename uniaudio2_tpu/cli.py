@@ -104,13 +104,17 @@ def get_parser() -> argparse.ArgumentParser:
                    help="decode-frame cap (reference max_audio_frames, "
                         "tts_task.py:222)")
     p.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "int8", "int4", "int4all"],
+                   choices=["none", "int8", "int4", "int4allg", "int4all"],
                    help="weight-only serving quantization (Pallas "
                         "dequant-in-VMEM matmuls). int8: all matrices; "
                         "int4: packed int4 for the 8x-per-frame local "
-                        "decoder + audio head, int8 elsewhere; int4all: "
-                        "every matrix int4 (max batch-1 throughput; "
-                        "most quantization error)")
+                        "decoder + audio head, int8 elsewhere; int4allg: "
+                        "every matrix int4 with group-128 scales — the "
+                        "RECOMMENDED int4 serving point (+2.7 to +8 dB SNR "
+                        "over per-channel on heavy-tailed weights for ~9% "
+                        "throughput, scripts/quant_quality_report.py); "
+                        "int4all: per-channel int4 everywhere (max batch-1 "
+                        "throughput, most quantization error — opt-in)")
     p.add_argument("--postprocess", type=str2bool, default=False,
                    help="apply repetition-cleanup to understanding outputs "
                         "(reference post_process_text, asr_task.py:58-172; "
@@ -179,12 +183,14 @@ def build_runner(args) -> TaskRunner:
         from uniaudio2_tpu.models.unified import prepare_serving_params
         from uniaudio2_tpu.ops.quant import quantize_unified_params
 
+        all_mods = ("backbone", "decoder", "understanding_expert",
+                    "generation_expert", "audio_head", "projection_w")
         int4 = {"int4": ("decoder", "audio_head", "projection_w"),
-                "int4all": ("backbone", "decoder", "understanding_expert",
-                            "generation_expert", "audio_head",
-                            "projection_w")}.get(args.quantize, ())
-        params = quantize_unified_params(params, donate=True,
-                                         int4_modules=int4)
+                "int4allg": all_mods,
+                "int4all": all_mods}.get(args.quantize, ())
+        params = quantize_unified_params(
+            params, donate=True, int4_modules=int4,
+            grouped=args.quantize == "int4allg")
         params = prepare_serving_params(params)
     tok = TextTokenizer(args.text_tokenizer_path)
     engine = DecodeEngine(

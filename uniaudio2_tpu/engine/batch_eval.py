@@ -47,7 +47,10 @@ def get_parser():
     p.add_argument("--model_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "int8"])
+                   choices=["none", "int8", "int4", "int4allg", "int4all"],
+                   help="serving quantization; int4allg (group-128 scales) "
+                        "is the recommended int4 point (see "
+                        "scripts/quant_quality_report.py)")
     p.add_argument("--score", action="store_true",
                    help="print corpus WER after decoding (EN normalizer)")
     p.add_argument("--lang", type=str, default="en", choices=["en", "cn"])

@@ -136,13 +136,15 @@ def lm_head(
 
 
 def _qkv(
-    layer: Params, cfg: GPTConfig, x: jax.Array, cos: jax.Array, sin: jax.Array
+    layer: Params, cfg: GPTConfig, x: jax.Array, cos: jax.Array, sin: jax.Array,
+    pre_norm=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Project + split + head-reshape + RoPE.
-    Returns q (B,H,T,hd), k/v (B,G,T,hd)."""
+    Returns q (B,H,T,hd), k/v (B,G,T,hd). ``pre_norm`` folds the leading
+    RMSNorm into the projection (`ops/quant.matmul`)."""
     b, t, _ = x.shape
     h, g, hd = cfg.n_head, cfg.n_query_groups, cfg.head_size
-    qkv = matmul(x, layer["qkv_w"])
+    qkv = matmul(x, layer["qkv_w"], pre_norm=pre_norm)
     q, k, v = jnp.split(qkv, [h * hd, (h + g) * hd], axis=-1)
     q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, g, hd).transpose(0, 2, 1, 3)
@@ -169,6 +171,24 @@ def _mlp(layer: Params, x: jax.Array, cfg: GPTConfig) -> jax.Array:
     gate = matmul(x, w1)
     up = matmul(x, w2)
     return matmul(jax.nn.silu(gate) * up, w3)
+
+
+def _mlp_block(layer: Params, x: jax.Array, cfg: GPTConfig) -> jax.Array:
+    """The transformer MLP half-block ``x + mlp(rmsnorm(x))``. On the
+    quantized decode path the whole expression is ONE Pallas kernel
+    (norm + SwiGLU + residual folded — `ops/fused_mlp.py`); everywhere else
+    it is the composed form."""
+    from uniaudio2_tpu.ops import fused_mlp
+    from uniaudio2_tpu.ops.quant import _use_pallas
+
+    if "moe_gate_w" not in layer:
+        w1, w2, w3 = layer["fc1_w"], layer["fc2_w"], layer["mlp_proj_w"]
+        if _use_pallas() and fused_mlp.can_fuse(w1, w2, w3, x):
+            return fused_mlp.fused_swiglu(
+                x, w1, w2, w3, norm_w=layer["norm2_w"],
+                norm_eps=cfg.norm_eps, residual=x)
+    hn = rms_norm(x, layer["norm2_w"], cfg.norm_eps)
+    return x + _mlp(layer, hn, cfg)
 
 
 def _moe_mlp(layer: Params, x: jax.Array, cfg: GPTConfig) -> jax.Array:
@@ -357,16 +377,17 @@ def decode_step(
             layer, k_l, v_l, win = inputs
         else:
             (layer, k_l, v_l), win = inputs, None
-        hn = rms_norm(xc, layer["norm1_w"], cfg.norm_eps)
-        q, k, v = _qkv(layer, cfg, hn, cos, sin)
+        # norm1 folds into the qkv projection; norm2 + residual fold into
+        # the fused MLP kernel (quantized decode; identical math elsewhere)
+        q, k, v = _qkv(layer, cfg, xc, cos, sin,
+                       pre_norm=(layer["norm1_w"], cfg.norm_eps))
         k_l, v_l = update_layer(k_l, v_l, k, v, pos)
         attn = decode_attention(q, k_l, v_l, positions, scale=scale,
                                 key_valid=key_valid, logit_softcap=softcap,
                                 window=win)
         attn = matmul(attn, layer["attn_proj_w"])
         xc = xc + attn
-        hn = rms_norm(xc, layer["norm2_w"], cfg.norm_eps)
-        xc = xc + _mlp(layer, hn, cfg)
+        xc = _mlp_block(layer, xc, cfg)
         return xc, (k_l, v_l)
 
     if isinstance(params["layers"], list):  # unrolled serving form
@@ -403,8 +424,7 @@ def decode_step(
                     scale=scale,
                 )
                 xa = x + matmul(attn, layer["attn_proj_w"])
-                hn = rms_norm(xa, layer["norm2_w"], cfg.norm_eps)
-                x = xa + _mlp(layer, hn, cfg)
+                x = _mlp_block(layer, xa, cfg)
             else:
                 inputs = (layer, k_all[i], v_all[i])
                 if wins is not None:

@@ -38,15 +38,34 @@ _VMEM_BUDGET = 6 * 2 ** 20  # per-block bytes cap (double-buffered by Mosaic)
 
 
 def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
-            o_ref, acc_ref, *, w12_int4: bool, w3_int4: bool,
-            w12_group: int = 0, w3_group: int = 0):
+            *rest, w12_int4: bool, w3_int4: bool,
+            w12_group: int = 0, w3_group: int = 0,
+            has_norm: bool = False, norm_eps: float = 1e-5,
+            res_cols: int = 0):
     """``w12_group``/``w3_group`` > 0 switch the scale semantics to
     group-wise (`QuantizedLinear4G` / `QuantizedLinearC4G`): s1/s2 blocks
     are (G, bc) over the full K, the s3 block is (bc/group, 2, half) for
     THIS chunk's rows (chunk-local scales — applied here, not at the final
-    write)."""
+    write).
+
+    ``has_norm`` folds the layer's pre-MLP RMSNorm into the kernel (the
+    norm-weight ref follows s3; recomputed per chunk — VPU work on a
+    (M, K) row is negligible next to the weight stream). ``res_cols`` > 0
+    folds the residual add: a (M, res_cols) residual ref is added at the
+    final write, de-interleaved across the lo/hi column halves under
+    column-packed int4 output. Both remove an XLA fusion + HBM round trip
+    per layer from the decode hot loop."""
+    rest = list(rest)
+    n_ref = rest.pop(0) if has_norm else None
+    r_ref = rest.pop(0) if res_cols else None
+    o_ref, acc_ref = rest
     c = pl.program_id(0)
     x = x_ref[:]                                    # (M, K) bf16/f32
+    if has_norm:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + norm_eps)
+             * n_ref[:].astype(jnp.float32)).astype(x.dtype)
 
     def gemv(w_ref, s_ref):
         if w12_int4 and w12_group:
@@ -102,10 +121,24 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     @pl.when(c == pl.num_programs(0) - 1)
     def _():
         if w3_group:
-            o_ref[:] = acc_ref[:].astype(o_ref.dtype)  # scales already in
+            out = acc_ref[:]                        # scales already in
         else:
-            o_ref[:] = (acc_ref[:] * s3_ref[:].astype(jnp.float32)
-                        ).astype(o_ref.dtype)
+            out = acc_ref[:] * s3_ref[:].astype(jnp.float32)
+        if res_cols:
+            r = r_ref[:].astype(jnp.float32)        # (M, n_true)
+            if w3_int4:
+                # out layout: [lo cols ++ pad][hi cols ++ pad]
+                half = out.shape[-1] // 2
+                nh = res_cols // 2
+                r = jnp.concatenate([
+                    jnp.pad(r[:, :nh], ((0, 0), (0, half - nh))),
+                    jnp.pad(r[:, nh:],
+                            ((0, 0), (0, half - (res_cols - nh)))),
+                ], axis=-1)
+            elif out.shape[-1] != res_cols:         # lane-padded int8 out
+                r = jnp.pad(r, ((0, 0), (0, out.shape[-1] - res_cols)))
+            out = out + r
+        o_ref[:] = out.astype(o_ref.dtype)
 
 
 def can_fuse(w1, w2, w3, x: jax.Array) -> bool:
@@ -152,8 +185,17 @@ def fused_swiglu(
     w1: Union[QuantizedLinear, QuantizedLinear4, QuantizedLinear4G],
     w2: Union[QuantizedLinear, QuantizedLinear4, QuantizedLinear4G],
     w3: Union[QuantizedLinear, QuantizedLinearC4, QuantizedLinearC4G],
+    *,
+    norm_w: "jax.Array | None" = None,
+    norm_eps: float = 1e-5,
+    residual: "jax.Array | None" = None,
 ) -> jax.Array:
-    """(..., K) -> (..., N) fused quantized SwiGLU (see module docstring)."""
+    """(..., K) -> (..., N) fused quantized SwiGLU (see module docstring).
+
+    ``norm_w`` folds a leading RMSNorm (``x`` is then the UN-normed layer
+    activation); ``residual`` (same shape as the output) folds the layer's
+    residual add — together one kernel computes the whole transformer MLP
+    block ``x + swiglu(rmsnorm(x))``."""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
@@ -223,22 +265,34 @@ def fused_swiglu(
         s3_spec = pl.BlockSpec((1, out_width), lambda c: (0, 0),
                                memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, w12_int4=w12_int4, w3_int4=w3_int4,
-                               w12_group=w12_group, w3_group=w3_group)
+                               w12_group=w12_group, w3_group=w3_group,
+                               has_norm=norm_w is not None, norm_eps=norm_eps,
+                               res_cols=n_true if residual is not None else 0)
+    in_specs = [
+        pl.BlockSpec((m, k), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bc, n_stored), lambda c: (c, 0),
+                     memory_space=pltpu.VMEM),
+        s3_spec,
+    ]
+    operands = [x2, w1.values, s1_in, w2.values, s2_in, w3.values, s3]
+    if norm_w is not None:
+        in_specs.append(pl.BlockSpec((1, k), lambda c: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(norm_w.reshape(1, k))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((m, n_true), lambda c: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(residual.reshape(m, n_true))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, k), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, n_stored), lambda c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            s3_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, out_width), lambda c: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, out_width), x.dtype),
@@ -248,7 +302,7 @@ def fused_swiglu(
             bytes_accessed=2 * kw * i_true + i_true * n_stored,
             transcendentals=m * i_true,
         ),
-    )(x2, w1.values, s1_in, w2.values, s2_in, w3.values, s3)
+    )(*operands)
 
     if w3_int4:
         half = n_stored

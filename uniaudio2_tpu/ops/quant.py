@@ -265,8 +265,21 @@ def dequantize4_cols(w: QuantizedLinearC4, dtype=jnp.bfloat16) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
-    x = x_ref[:]                                      # (Mt, K) bf16
+def _maybe_norm(x, n_ref, eps: float):
+    """Fold a leading RMSNorm into a matmul kernel (recomputed per grid
+    step — VPU work on the (Mt, K) block, negligible next to the weight
+    stream; saves the standalone norm fusion + HBM round trip per call)."""
+    if n_ref is None:
+        return x
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)
+            * n_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
+    n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+    x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
     # dequantize the int8 tile in VMEM in bf16 (f32 copies blow scoped vmem
     # for big K); the MXU accumulates in f32 via preferred_element_type
     w = w_ref[:].astype(x.dtype)                      # (K, Nt)
@@ -278,6 +291,7 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
 def _pallas_int8_matmul(
     x: jax.Array, values: jax.Array, scale: jax.Array,
     *, block_n: Optional[int] = None, block_m: int = 128, out_dtype=None,
+    pre_norm=None,
 ) -> jax.Array:
     """x (M, K) bf16 @ int8 (K, N) * scale (N,) -> (M, N).
     Grid over (M, N) tiles; the K axis stays whole (max 8192 here).
@@ -312,14 +326,22 @@ def _pallas_int8_matmul(
         if m % bm:  # pad M up to a tile multiple
             x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
     grid = (mg, n // bn)
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, values, scale.reshape(1, n)]
+    eps = 1e-5
+    if pre_norm is not None:
+        nw, eps = pre_norm
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(nw.reshape(1, k))
     out = pl.pallas_call(
-        _int8_matmul_kernel,
+        functools.partial(_int8_matmul_kernel, norm_eps=eps),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
@@ -328,12 +350,13 @@ def _pallas_int8_matmul(
             flops=2 * m * k * n, bytes_accessed=k * n + m * k * 2 + m * n * 2,
             transcendentals=0,
         ),
-    )(x, values, scale.reshape(1, n))
+    )(*operands)
     return out[:m, :n_orig]
 
 
-def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
-    x = x_ref[:]                                      # (Mt, K) bf16
+def _int4_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
+    n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+    x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
     lo, hi = _unpack4(w_ref[:], x.dtype)              # (K/2, Nt) each
     k2 = lo.shape[0]
     acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
@@ -344,6 +367,7 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
 def _pallas_int4_matmul(
     x: jax.Array, values: jax.Array, scale: jax.Array,
     *, block_n: Optional[int] = None, block_m: int = 128, out_dtype=None,
+    pre_norm=None,
 ) -> jax.Array:
     """x (M, K) bf16 @ packed-int4 (K/2, N) * scale (N,) -> (M, N).
     Same tiling policy as the int8 kernel; tiles are half the bytes, so the
@@ -373,14 +397,22 @@ def _pallas_int4_matmul(
         if m % bm:
             x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
     grid = (mg, n // bn)
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, values, scale.reshape(1, n)]
+    eps = 1e-5
+    if pre_norm is not None:
+        nw, eps = pre_norm
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(nw.reshape(1, k))
     out = pl.pallas_call(
-        _int4_matmul_kernel,
+        functools.partial(_int4_matmul_kernel, norm_eps=eps),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
@@ -389,7 +421,7 @@ def _pallas_int4_matmul(
             flops=2 * m * k * n, bytes_accessed=k2 * n + m * k * 2 + m * n * 2,
             transcendentals=0,
         ),
-    )(x, values, scale.reshape(1, n))
+    )(*operands)
     return out[:m, :n_orig]
 
 
@@ -404,8 +436,10 @@ def _scale_rows(w, s, group: int):
     return scaled.reshape(k2, n)
 
 
-def _int4g_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group: int):
-    x = x_ref[:]                                      # (Mt, K) bf16
+def _int4g_matmul_kernel(x_ref, w_ref, s_ref, *rest, group: int,
+                         norm_eps: float = 1e-5):
+    n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+    x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
     lo, hi = _unpack4(w_ref[:], jnp.float32)          # (K/2, Nt) each
     k2 = lo.shape[0]
     g2 = k2 // group
@@ -420,6 +454,7 @@ def _int4g_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group: int):
 def _pallas_int4g_matmul(
     x: jax.Array, values: jax.Array, scale: jax.Array,
     *, block_n: Optional[int] = None, block_m: int = 128, out_dtype=None,
+    pre_norm=None,
 ) -> jax.Array:
     """x (M, K) bf16 @ group-scaled packed-int4 (K/2, N) -> (M, N).
     Same tiling as the int4 kernel; the scale block is (G, bn)."""
@@ -446,14 +481,22 @@ def _pallas_int4g_matmul(
         if m % bm:
             x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
     grid = (mg, n // bn)
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, values, scale]
+    eps = 1e-5
+    if pre_norm is not None:
+        nw, eps = pre_norm
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(nw.reshape(1, k))
     out = pl.pallas_call(
-        functools.partial(_int4g_matmul_kernel, group=group),
+        functools.partial(_int4g_matmul_kernel, group=group, norm_eps=eps),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
@@ -462,7 +505,7 @@ def _pallas_int4g_matmul(
             flops=2 * m * k * n, bytes_accessed=k2 * n + m * k * 2 + m * n * 2,
             transcendentals=0,
         ),
-    )(x, values, scale)
+    )(*operands)
     return out[:m, :n_orig]
 
 
@@ -612,23 +655,35 @@ def _use_pallas() -> bool:
 
 def matmul(
     x: jax.Array, w: Union[jax.Array, QuantizedLinear, QuantizedLinear4],
-    out_dtype=None,
+    out_dtype=None, pre_norm=None,
 ) -> jax.Array:
     """``x @ w`` over the last two axes; ``w`` may be quantized (int8/int4).
 
     x: (..., K); plain w: (K, N); int8 w: values (K, N); int4 w: packed
     values (K/2, N). ``out_dtype`` forces the output dtype (e.g. f32 logits).
+    ``pre_norm=(weight, eps)`` folds a leading RMSNorm of ``x`` into the
+    Pallas kernels (applied in XLA on the fallback paths) — the decode hot
+    loop's norm->matmul pairs become one kernel each.
     """
+    def _normed(x2):
+        if pre_norm is None:
+            return x2
+        from uniaudio2_tpu.ops.norms import rms_norm
+
+        return rms_norm(x2, pre_norm[0], pre_norm[1])
+
     if isinstance(w, QuantizedLinear4):
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
         if _use_pallas() and k % 256 == 0:
-            out = _pallas_int4_matmul(x2, w.values, w.scale, out_dtype=out_dtype)
+            out = _pallas_int4_matmul(x2, w.values, w.scale,
+                                      out_dtype=out_dtype, pre_norm=pre_norm)
         else:
             wd = dequantize4(w, x.dtype)
             out = jnp.einsum(
-                "mk,kn->mn", x2, wd, preferred_element_type=jnp.float32
+                "mk,kn->mn", _normed(x2), wd,
+                preferred_element_type=jnp.float32
             ).astype(x.dtype)
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
@@ -639,18 +694,19 @@ def matmul(
         group = k // w.scale.shape[-2]
         if _use_pallas() and k % 256 == 0 and (k // 2) % group == 0:
             out = _pallas_int4g_matmul(x2, w.values, w.scale,
-                                       out_dtype=out_dtype)
+                                       out_dtype=out_dtype, pre_norm=pre_norm)
         else:
             wd = dequantize4_grouped(w, x.dtype)
             out = jnp.einsum(
-                "mk,kn->mn", x2, wd, preferred_element_type=jnp.float32
+                "mk,kn->mn", _normed(x2), wd,
+                preferred_element_type=jnp.float32
             ).astype(x.dtype)
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
     if isinstance(w, QuantizedLinearC4):
         lead = x.shape[:-1]
         k = x.shape[-1]
-        x2 = x.reshape(-1, k)
+        x2 = _normed(x.reshape(-1, k))
         if _use_pallas() and k % 128 == 0:
             out = _pallas_int4c_matmul(x2, w.values, w.scale,
                                        out_dtype=out_dtype)
@@ -664,7 +720,7 @@ def matmul(
     if isinstance(w, QuantizedLinearC4G):
         lead = x.shape[:-1]
         k = x.shape[-1]
-        x2 = x.reshape(-1, k)
+        x2 = _normed(x.reshape(-1, k))
         group = k // w.scale.shape[-2]
         if _use_pallas() and k % 128 == 0 and k % group == 0:
             out = _pallas_int4cg_matmul(x2, w.values, w.scale,
@@ -677,6 +733,9 @@ def matmul(
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
     if not isinstance(w, QuantizedLinear):
+        if pre_norm is not None:
+            lead = x.shape[:-1]
+            x = _normed(x.reshape(-1, x.shape[-1])).reshape(*lead, -1)
         out = jnp.einsum(
             "...k,kn->...n", x, w,
             preferred_element_type=out_dtype or jnp.float32,
@@ -686,11 +745,12 @@ def matmul(
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     if _use_pallas() and k % 128 == 0:
-        out = _pallas_int8_matmul(x2, w.values, w.scale, out_dtype=out_dtype)
+        out = _pallas_int8_matmul(x2, w.values, w.scale, out_dtype=out_dtype,
+                                  pre_norm=pre_norm)
     else:
         wd = dequantize(w, x.dtype)
         out = jnp.einsum(
-            "mk,kn->mn", x2, wd, preferred_element_type=jnp.float32
+            "mk,kn->mn", _normed(x2), wd, preferred_element_type=jnp.float32
         ).astype(x.dtype)
     out = out.reshape(*lead, -1)
     return out.astype(out_dtype) if out_dtype else out
