@@ -360,3 +360,103 @@ def test_matmul_pre_norm_fold(kind):
     out2 = quant.matmul(x, q, pre_norm=(nw, 1e-5))
     np.testing.assert_allclose(np.asarray(out2, np.float32), ref,
                                rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4", "int4g"])
+def test_chunk_major_matmul(kind):
+    """Chunk-major storage: same results through the kernels, fallback, and
+    dequantize round trip (values (C, K*, bc) with contiguous block DMA)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    k, n, bc = 256, 1024, 256
+    rng = jax.random.PRNGKey(30)
+    kw_, kx = jax.random.split(rng)
+    w = jax.random.normal(kw_, (k, n)) * 0.05
+    x = jax.random.normal(kx, (2, k), jnp.float32)
+    qf = {"int8": quant.quantize, "int4": quant.quantize4,
+          "int4g": quant.quantize4_grouped}[kind]
+    deqf = {"int8": quant.dequantize, "int4": quant.dequantize4,
+            "int4g": quant.dequantize4_grouped}[kind]
+    q = qf(w)
+    qc = quant.chunk_major(q, bc)
+    assert qc.values.ndim == 3 and qc.values.shape[0] == n // bc
+    # dequantize agrees between layouts
+    np.testing.assert_array_equal(np.asarray(deqf(q, jnp.float32)),
+                                  np.asarray(deqf(qc, jnp.float32)))
+    fn = {"int8": quant._pallas_int8_matmul,
+          "int4": quant._pallas_int4_matmul,
+          "int4g": quant._pallas_int4g_matmul}[kind]
+    with pltpu.force_tpu_interpret_mode():
+        out_c = fn(x, qc.values, qc.scale)
+        out_r = fn(x, q.values, q.scale)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+    # dispatcher fallback path on the chunked layout
+    out_f = quant.matmul(x, qc)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("bits", [8, 4, "4g"])
+def test_fused_swiglu_chunk_major(bits):
+    """The fused SwiGLU accepts chunk-major W1/W2 and matches row-major."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from uniaudio2_tpu.ops import fused_mlp
+
+    k, i, n = 256, 512, 256
+    rng = jax.random.PRNGKey(31)
+    k1, k2, k3, kx = jax.random.split(rng, 4)
+    w1 = jax.random.normal(k1, (k, i)) * 0.05
+    w2 = jax.random.normal(k2, (k, i)) * 0.05
+    w3 = jax.random.normal(k3, (i, n)) * 0.05
+    x = jax.random.normal(kx, (2, k), jnp.float32)
+    if bits == 8:
+        q1, q2, q3 = quant.quantize(w1), quant.quantize(w2), quant.quantize(w3)
+    elif bits == "4g":
+        q1, q2 = quant.quantize4_grouped(w1), quant.quantize4_grouped(w2)
+        q3 = quant.quantize4_cols_grouped(w3)
+    else:
+        q1, q2 = quant.quantize4(w1), quant.quantize4(w2)
+        q3 = quant.quantize4_cols(w3)
+    c1, c2 = quant.chunk_major(q1, 256), quant.chunk_major(q2, 256)
+    assert fused_mlp.can_fuse(c1, c2, q3, x)
+    with pltpu.force_tpu_interpret_mode():
+        out_c = fused_mlp.fused_swiglu(x, c1, c2, q3)
+        out_r = fused_mlp.fused_swiglu(x, q1, q2, q3)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_prepare_serving_chunk_major_decode():
+    """Tiny quantized unified decode with the chunk-major serving layout
+    matches the row-major layout greedily end to end."""
+    import os
+
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.engine import tasks
+    from uniaudio2_tpu.engine.decode import DecodeEngine
+    from uniaudio2_tpu.models import unified
+
+    cfg = UnifiedModelConfig.tiny()
+    base = unified.init_params(jax.random.PRNGKey(0), cfg)
+    qp = quant.quantize_unified_params(
+        jax.tree_util.tree_map(lambda a: a, base),
+        int4_modules=("decoder", "audio_head", "projection_w"))
+    grid, mask = tasks.prepare_tts(np.arange(1, 5), np.arange(2, 8),
+                                   cfg.tokens)
+
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["UA2_CHUNK_MAJOR"] = flag
+        try:
+            sp = unified.prepare_serving_params(
+                jax.tree_util.tree_map(lambda a: a, qp))
+            eng = DecodeEngine(sp, cfg, max_frames=6,
+                               cache_dtype=jnp.float32, buckets=(32,))
+            r, s = eng.generate_audio(grid, mask, topk=1)
+            outs[flag] = (np.asarray(r), np.asarray(s))
+        finally:
+            os.environ.pop("UA2_CHUNK_MAJOR", None)
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])

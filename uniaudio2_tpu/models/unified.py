@@ -26,6 +26,7 @@ eager per-frame Python (`model_new.py:568-645`).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -113,6 +114,10 @@ def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
        unroll instead of `lax.scan`-slicing — each Pallas matmul then reads
        its weight straight from HBM with no materialized slice copy
        (`gpt.unstack_layers`; measured 1.7x weight-stream bandwidth).
+    3. Chunk-major re-layout of the quantized output-chunked weights
+       (`ops/quant.chunk_major`): every kernel block fetch becomes one
+       contiguous DMA instead of K strided 512-byte bursts. Single-chip
+       serving layout (like the unroll); disable with UA2_CHUNK_MAJOR=0.
     """
     emb = params["audio_embeddings"]
     w = params["projection_w"]
@@ -143,6 +148,25 @@ def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
                 jax.tree_util.tree_map(lambda a: a[i], head)
                 for i in range(ncb)
             ]
+    if os.environ.get("UA2_CHUNK_MAJOR", "1") != "0" and unroll:
+        from uniaudio2_tpu.ops.quant import chunk_major
+
+        # output-axis-chunked kernel operands only; mlp_proj_w stays
+        # row-chunked (the fused kernel's W3 blocks are full-width
+        # contiguous already) and stacked training layers are untouched
+        chunked = ("qkv_w", "attn_proj_w", "fc1_w", "fc2_w", "lm_head_w")
+        for sub in ("backbone", "decoder", "understanding_expert",
+                    "generation_expert"):
+            gp = dict(out[sub])
+            if "lm_head_w" in gp:
+                gp["lm_head_w"] = chunk_major(gp["lm_head_w"])
+            gp["layers"] = [
+                {k: (chunk_major(v) if k in chunked else v)
+                 for k, v in layer.items()}
+                for layer in gp["layers"]
+            ]
+            out[sub] = gp
+        out["audio_head"] = [chunk_major(h) for h in out["audio_head"]]
     return out
 
 

@@ -68,11 +68,14 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
              * n_ref[:].astype(jnp.float32)).astype(x.dtype)
 
     def gemv(w_ref, s_ref):
+        wv = w_ref[:]
+        if wv.ndim == 3:                            # chunk-major (1, kw, bc)
+            wv = wv[0]
         if w12_int4 and w12_group:
             # grouped scales are multiplied into the weight tile (one VPU
             # pass) so the contraction stays two big MXU matmuls — the
             # looped per-group form measured ~15% slower end-to-end
-            lo, hi = _unpack4(w_ref[:], jnp.float32)  # (K/2, bc) each
+            lo, hi = _unpack4(wv, jnp.float32)        # (K/2, bc) each
             k2 = lo.shape[0]
             g2 = k2 // w12_group
             s = s_ref[:].astype(jnp.float32)        # (2*g2, bc)
@@ -82,12 +85,12 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
             return acc                              # scales already applied
         if w12_int4:
-            lo, hi = _unpack4(w_ref[:], x.dtype)    # (K/2, bc) each
+            lo, hi = _unpack4(wv, x.dtype)          # (K/2, bc) each
             k2 = lo.shape[0]
             acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
             acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
         else:
-            acc = jnp.dot(x, w_ref[:].astype(x.dtype),
+            acc = jnp.dot(x, wv.astype(x.dtype),
                           preferred_element_type=jnp.float32)
         return acc * s_ref[:].astype(jnp.float32)
 
@@ -160,7 +163,13 @@ def can_fuse(w1, w2, w3, x: jax.Array) -> bool:
     if k % 256:
         return False
     i = w1.scale.shape[-1]
-    if w1.values.shape[-1] != i or w2.values.shape[-1] != i:
+
+    def width(v):     # chunk-major (C, kw, bc) stores width C*bc
+        return v.shape[0] * v.shape[2] if v.ndim == 3 else v.shape[-1]
+
+    if w1.values.ndim != w2.values.ndim:
+        return False
+    if width(w1.values) != i or width(w2.values) != i:
         return False  # lane-padded I would index pad rows of W3
     if w3.values.shape[-2] != i:
         return False
@@ -244,14 +253,18 @@ def fused_swiglu(
                          constant_values=1.0)
         s3 = s3.reshape(1, -1)
 
-    # chunk width over I: as wide as the VMEM budget allows; must contain
-    # whole w3 scale groups when grouped (group=128 divides any bc here)
-    bc = 512
-    per_chunk = (k // (2 if w12_int4 else 1)) * 2 + n_stored  # bytes per I-row
-    while bc > 128 and bc * per_chunk > _VMEM_BUDGET:
-        bc //= 2
-    while i_true % bc:
-        bc //= 2
+    # chunk width over I: chunk-major storage dictates it; otherwise as
+    # wide as the VMEM budget allows; must contain whole w3 scale groups
+    # when grouped (group=128 divides any bc here)
+    if w1.values.ndim == 3:
+        bc = w1.values.shape[2]
+    else:
+        bc = 512
+        per_chunk = (k // (2 if w12_int4 else 1)) * 2 + n_stored  # B/I-row
+        while bc > 128 and bc * per_chunk > _VMEM_BUDGET:
+            bc //= 2
+        while i_true % bc:
+            bc //= 2
     grid = (i_true // bc,)
 
     kw = k // 2 if w12_int4 else k
@@ -268,12 +281,17 @@ def fused_swiglu(
                                w12_group=w12_group, w3_group=w3_group,
                                has_norm=norm_w is not None, norm_eps=norm_eps,
                                res_cols=n_true if residual is not None else 0)
+    w12_spec = (pl.BlockSpec((1, kw, bc), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM)
+                if w1.values.ndim == 3 else
+                pl.BlockSpec((kw, bc), lambda c: (0, c),
+                             memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((m, k), lambda c: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
+        w12_spec,
         pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((kw, bc), lambda c: (0, c), memory_space=pltpu.VMEM),
+        w12_spec,
         pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bc, n_stored), lambda c: (c, 0),

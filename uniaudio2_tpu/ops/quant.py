@@ -56,7 +56,8 @@ def quantize(w: jax.Array) -> QuantizedLinear:
 
 def dequantize(w: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     n = w.scale.shape[-1]
-    return (w.values[..., :n].astype(jnp.float32)
+    v = _unchunk_values(w.values) if is_chunk_major(w) else w.values
+    return (v[..., :n].astype(jnp.float32)
             * w.scale[..., None, :]).astype(dtype)
 
 
@@ -143,7 +144,8 @@ def quantize4_grouped(w: jax.Array, group: int = INT4_GROUP) -> QuantizedLinear4
 
 def dequantize4_grouped(w: QuantizedLinear4G, dtype=jnp.bfloat16) -> jax.Array:
     g, n = w.scale.shape[-2:]
-    lo, hi = _unpack4(w.values[..., :n], jnp.float32)
+    v = _unchunk_values(w.values) if is_chunk_major(w) else w.values
+    lo, hi = _unpack4(v[..., :n], jnp.float32)
     full = jnp.concatenate([lo, hi], axis=-2)        # (..., K, N)
     k = full.shape[-2]
     group = k // g
@@ -235,6 +237,51 @@ def dequantize4_cols_grouped(w: QuantizedLinearC4G,
     return full.reshape(*lead, k, n).astype(dtype)
 
 
+SERVING_CHUNK = 512  # kernel tile width; chunk-major layout bakes it in
+
+
+def chunk_major(w, bc: int = SERVING_CHUNK):
+    """Serving-time re-layout for contiguous weight DMA.
+
+    The matmul kernels tile the output axis in ``bc``-wide blocks; with
+    row-major (K*, N) storage each block fetch is K* strided bursts of
+    ``bc`` bytes (int8) — short bursts that cap HBM efficiency (measured on
+    v5e: 512-wide tiles stream ~712 GB/s vs ~891 at 2048-wide; the burst
+    length, not the tile, is the limiter). Chunk-major storage
+    ``(N/bc, K*, bc)`` makes every block fetch ONE contiguous range.
+
+    Applies to `QuantizedLinear` / `QuantizedLinear4` / `QuantizedLinear4G`
+    (row-chunkable output axis). No-op when N doesn't divide by ``bc`` or
+    the leaf is already chunk-major. Column-packed down-projections
+    (`QuantizedLinearC4*`) are already fetched full-width-contiguous."""
+    if not isinstance(w, (QuantizedLinear, QuantizedLinear4,
+                          QuantizedLinear4G)):
+        return w
+    v = w.values
+    if v.ndim != 2 or v.shape[-1] % bc or v.shape[-1] == bc:
+        return w
+    k_, n = v.shape
+    v3 = jnp.transpose(v.reshape(k_, n // bc, bc), (1, 0, 2))
+    return type(w)(v3, w.scale)
+
+
+def _unchunk_values(v: jax.Array) -> jax.Array:
+    """(C, K*, bc) chunk-major -> (K*, C*bc) row-major."""
+    if v.ndim == 2:
+        return v
+    c, k_, bc = v.shape
+    return jnp.transpose(v, (1, 0, 2)).reshape(k_, c * bc)
+
+
+def is_chunk_major(w) -> bool:
+    """Distinguish chunk-major values from LAYER-STACKED values (both 3-D):
+    stacking adds a leading axis to values AND scale together, chunking
+    adds one to values only."""
+    d = w.values.ndim - w.scale.ndim
+    return d == 1 if isinstance(w, (QuantizedLinear4G, QuantizedLinearC4G)) \
+        else d == 2
+
+
 def _unpack4(v: jax.Array, dtype):
     """(..., K/2, N) packed int8 -> (lo, hi) halves in ``dtype``.
     Shifts run in int32 — Mosaic does not legalize int8 vector shifts
@@ -247,7 +294,8 @@ def _unpack4(v: jax.Array, dtype):
 
 def dequantize4(w: QuantizedLinear4, dtype=jnp.bfloat16) -> jax.Array:
     n = w.scale.shape[-1]
-    lo, hi = _unpack4(w.values[..., :n], jnp.float32)
+    v = _unchunk_values(w.values) if is_chunk_major(w) else w.values
+    lo, hi = _unpack4(v[..., :n], jnp.float32)
     full = jnp.concatenate([lo, hi], axis=-2)
     return (full * w.scale[..., None, :]).astype(dtype)
 
@@ -282,7 +330,10 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
     x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
     # dequantize the int8 tile in VMEM in bf16 (f32 copies blow scoped vmem
     # for big K); the MXU accumulates in f32 via preferred_element_type
-    w = w_ref[:].astype(x.dtype)                      # (K, Nt)
+    wv = w_ref[:]
+    if wv.ndim == 3:                                  # chunk-major (1, K, Nt)
+        wv = wv[0]
+    w = wv.astype(x.dtype)                            # (K, Nt)
     s = s_ref[:].astype(jnp.float32)                  # (1, Nt)
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
     o_ref[:] = (acc * s).astype(o_ref.dtype)
@@ -299,25 +350,34 @@ def _pallas_int8_matmul(
     Tile width is chosen for HBM streaming efficiency under the VMEM budget:
     wider N tiles mean fewer, longer DMAs (measured on v5e: 512 -> 712 GB/s,
     2048 -> 891 GB/s at K=3072), bounded so a double-buffered int8 tile fits
-    comfortably in the ~16 MB of VMEM.
+    comfortably in the ~16 MB of VMEM. Chunk-major (3-D) values force the
+    stored chunk width and fetch each block as ONE contiguous DMA.
     """
     m, k = x.shape
-    k2, n = values.shape
+    if values.ndim == 3:
+        cnum, k2, bc = values.shape
+        n = cnum * bc
+    else:
+        k2, n = values.shape
+        bc = None
     assert k == k2
     n_orig = scale.shape[-1]
     if n_orig != n:  # values stored lane-padded; pad the (tiny) scale to match
         scale = jnp.pad(scale, ((0, n - n_orig),), constant_values=1.0)
-    if block_n is None:
-        # 512 measures best end-to-end on v5e across the model's shapes
-        # (wider tiles win in isolation but lose inside the full frame
-        # program, likely from VMEM pressure alongside other fusions)
-        block_n = 512
-    # power-of-two width so the divisor search below terminates (any N that
-    # is a multiple of 128 is divisible by one of 2048/1024/512/256/128)
-    block_n = 1 << (block_n.bit_length() - 1)
-    bn = min(block_n, n)
-    while n % bn and bn > 128:
-        bn //= 2
+    if bc is not None:
+        bn = bc
+    else:
+        if block_n is None:
+            # 512 measures best end-to-end on v5e across the model's shapes
+            # (wider tiles win in isolation but lose inside the full frame
+            # program, likely from VMEM pressure alongside other fusions)
+            block_n = 512
+        # power-of-two width so the divisor search below terminates (any N
+        # that is a multiple of 128 divides one of 2048/1024/512/256/128)
+        block_n = 1 << (block_n.bit_length() - 1)
+        bn = min(block_n, n)
+        while n % bn and bn > 128:
+            bn //= 2
     if m <= block_m:
         bm, mg = m, 1
     else:
@@ -326,9 +386,13 @@ def _pallas_int8_matmul(
         if m % bm:  # pad M up to a tile multiple
             x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
     grid = (mg, n // bn)
+    wspec = (pl.BlockSpec((1, k, bn), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM) if bc is not None else
+             pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        wspec,
         pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     operands = [x, values, scale.reshape(1, n)]
@@ -357,7 +421,10 @@ def _pallas_int8_matmul(
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
     n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
     x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
-    lo, hi = _unpack4(w_ref[:], x.dtype)              # (K/2, Nt) each
+    wv = w_ref[:]
+    if wv.ndim == 3:                                  # chunk-major
+        wv = wv[0]
+    lo, hi = _unpack4(wv, x.dtype)                    # (K/2, Nt) each
     k2 = lo.shape[0]
     acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
     acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
@@ -371,24 +438,33 @@ def _pallas_int4_matmul(
 ) -> jax.Array:
     """x (M, K) bf16 @ packed-int4 (K/2, N) * scale (N,) -> (M, N).
     Same tiling policy as the int8 kernel; tiles are half the bytes, so the
-    same width streams twice the weight rows per DMA."""
+    same width streams twice the weight rows per DMA. Chunk-major (3-D)
+    values force the stored chunk width (contiguous block DMA)."""
     m, k = x.shape
-    k2, n = values.shape
+    if values.ndim == 3:
+        cnum, k2, bc = values.shape
+        n = cnum * bc
+    else:
+        k2, n = values.shape
+        bc = None
     assert k == 2 * k2
     n_orig = scale.shape[-1]
     if n_orig != n:
         scale = jnp.pad(scale, ((0, n - n_orig),), constant_values=1.0)
-    if block_n is None:
-        block_n = 512
-    # the in-kernel nibble unpack materialises lo/hi bf16 copies of the
-    # block (2 * k2 * bn * 2 bytes) — cap bn so that stays within scoped
-    # VMEM alongside the x block (large-K shapes OOM'd at bn=512)
-    while block_n > 128 and 4 * k2 * block_n > 4 * 2 ** 20:
-        block_n //= 2
-    block_n = 1 << (block_n.bit_length() - 1)
-    bn = min(block_n, n)
-    while n % bn and bn > 128:
-        bn //= 2
+    if bc is not None:
+        bn = bc
+    else:
+        if block_n is None:
+            block_n = 512
+        # the in-kernel nibble unpack materialises lo/hi bf16 copies of the
+        # block (2 * k2 * bn * 2 bytes) — cap bn so that stays within scoped
+        # VMEM alongside the x block (large-K shapes OOM'd at bn=512)
+        while block_n > 128 and 4 * k2 * block_n > 4 * 2 ** 20:
+            block_n //= 2
+        block_n = 1 << (block_n.bit_length() - 1)
+        bn = min(block_n, n)
+        while n % bn and bn > 128:
+            bn //= 2
     if m <= block_m:
         bm, mg = m, 1
     else:
@@ -397,9 +473,13 @@ def _pallas_int4_matmul(
         if m % bm:
             x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
     grid = (mg, n // bn)
+    wspec = (pl.BlockSpec((1, k2, bn), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM) if bc is not None else
+             pl.BlockSpec((k2, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        wspec,
         pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     operands = [x, values, scale.reshape(1, n)]
@@ -440,7 +520,10 @@ def _int4g_matmul_kernel(x_ref, w_ref, s_ref, *rest, group: int,
                          norm_eps: float = 1e-5):
     n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
     x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
-    lo, hi = _unpack4(w_ref[:], jnp.float32)          # (K/2, Nt) each
+    wv = w_ref[:]
+    if wv.ndim == 3:                                  # chunk-major
+        wv = wv[0]
+    lo, hi = _unpack4(wv, jnp.float32)                # (K/2, Nt) each
     k2 = lo.shape[0]
     g2 = k2 // group
     s = s_ref[:].astype(jnp.float32)                  # (G, Nt), G = 2*g2
@@ -457,22 +540,31 @@ def _pallas_int4g_matmul(
     pre_norm=None,
 ) -> jax.Array:
     """x (M, K) bf16 @ group-scaled packed-int4 (K/2, N) -> (M, N).
-    Same tiling as the int4 kernel; the scale block is (G, bn)."""
+    Same tiling as the int4 kernel; the scale block is (G, bn). Chunk-major
+    (3-D) values force the stored chunk width (contiguous block DMA)."""
     m, k = x.shape
-    k2, n = values.shape
+    if values.ndim == 3:
+        cnum, k2, bc = values.shape
+        n = cnum * bc
+    else:
+        k2, n = values.shape
+        bc = None
     assert k == 2 * k2
     g, n_orig = scale.shape
     group = k // g
     if n_orig != n:
         scale = jnp.pad(scale, ((0, 0), (0, n - n_orig)), constant_values=1.0)
-    if block_n is None:
-        block_n = 512
-    while block_n > 128 and 4 * k2 * block_n > 4 * 2 ** 20:
-        block_n //= 2
-    block_n = 1 << (block_n.bit_length() - 1)
-    bn = min(block_n, n)
-    while n % bn and bn > 128:
-        bn //= 2
+    if bc is not None:
+        bn = bc
+    else:
+        if block_n is None:
+            block_n = 512
+        while block_n > 128 and 4 * k2 * block_n > 4 * 2 ** 20:
+            block_n //= 2
+        block_n = 1 << (block_n.bit_length() - 1)
+        bn = min(block_n, n)
+        while n % bn and bn > 128:
+            bn //= 2
     if m <= block_m:
         bm, mg = m, 1
     else:
@@ -481,9 +573,13 @@ def _pallas_int4g_matmul(
         if m % bm:
             x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
     grid = (mg, n // bn)
+    wspec = (pl.BlockSpec((1, k2, bn), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM) if bc is not None else
+             pl.BlockSpec((k2, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        wspec,
         pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     operands = [x, values, scale]
