@@ -391,45 +391,17 @@ def decode_step(
         return xc, (k_l, v_l)
 
     if isinstance(params["layers"], list):  # unrolled serving form
-        from uniaudio2_tpu.ops import fused_attn_step
-        from uniaudio2_tpu.ops.quant import _use_pallas
-
-        import os
-
-        fuse_attn = (
-            _use_pallas()
-            # opt-in until broadly TPU-validated: the kernel is
-            # interpret-mode tested, but a VMEM miscalculation here would
-            # take down every serving program (and once wedged a remote
-            # TPU terminal; see scripts/tpu_fused_attn_smoke.py)
-            and os.environ.get("UA2_FUSED_ATTN_STEP", "0") == "1"
-            and wins is None and softcap is None
-            and all(
-                fused_attn_step.can_fuse_step(
-                    l, x, key_valid=key_valid,
-                    k_cache=cache.k[0], v_cache=cache.v[0],
-                    rope_width=cos.shape[-1], head_size=cfg.head_size)
-                for l in params["layers"]
-            )
-        )
+        # (A fully-fused attention-step kernel was tried and REMOVED in r3:
+        # it measured ~8% slower than this composed chain — in-kernel
+        # small-matmul GQA attention loses more than the saved launches —
+        # and its gate could never pass under the chunk-major QKV layout.
+        # Negative result recorded in docs/profile_decode_r3.md.)
         k_all, v_all = cache.k, cache.v
         for i, layer in enumerate(params["layers"]):
-            if fuse_attn:
-                # one Pallas kernel for norm+qkv+rope+cache+attention;
-                # proj stays on the chunked quantized-matmul kernel
-                attn, k_l, v_l = fused_attn_step.fused_attn_decode_step(
-                    layer, x, cos, sin, k_all[i], v_all[i], pos,
-                    n_head=cfg.n_head, n_query_groups=cfg.n_query_groups,
-                    head_size=cfg.head_size, norm_eps=cfg.norm_eps,
-                    scale=scale,
-                )
-                xa = x + matmul(attn, layer["attn_proj_w"])
-                x = _mlp_block(layer, xa, cfg)
-            else:
-                inputs = (layer, k_all[i], v_all[i])
-                if wins is not None:
-                    inputs = inputs + (wins[i],)
-                x, (k_l, v_l) = layer_fn(x, inputs)
+            inputs = (layer, k_all[i], v_all[i])
+            if wins is not None:
+                inputs = inputs + (wins[i],)
+            x, (k_l, v_l) = layer_fn(x, inputs)
             k_all = k_all.at[i].set(k_l)
             v_all = v_all.at[i].set(v_l)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
