@@ -98,7 +98,7 @@ def main():
     # max_frames bounds the compiled loop; EOS never fires on random weights
     # only by chance, so force a fixed-length run via the frame cap.
     engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,),
-                          approx_topk=os.environ.get("UA2_BENCH_APPROX") == "1")
+                          approx_topk=os.environ.get("UA2_BENCH_APPROX", "1") != "0")
 
     task = os.environ.get("UA2_BENCH_TASK", "tts")
     if task == "asr":

@@ -418,14 +418,21 @@ class DecodeEngine:
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
         mesh=None,
         use_tp: bool = False,
-        approx_topk: bool = False,
+        approx_topk: bool = True,
     ):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip serving —
         parameters are placed by `parallel/mesh.py`'s specs (FSDP over the
         `fsdp` axis, attention-head/MLP-hidden tensor parallelism over `tp`
         when ``use_tp``), the KV caches are sharded over `tp` on the
         kv-group axis, and XLA SPMD inserts the collectives inside the
-        compiled generation loops. Single-chip when None."""
+        compiled generation loops. Single-chip when None.
+
+        ``approx_topk`` (default ON, r3): sampled paths use TPU-native
+        `lax.approx_max_k` at recall 0.95 — a total-variation shift below
+        ~1e-3 at serving temperatures for ~3.4% end-to-end throughput
+        (1286 -> 1330 tok/s batch-1); greedy (topk=1) is argmax either way,
+        so token-identity guarantees are unaffected. Pass False for exact
+        `lax.top_k` sampling."""
         self.cfg = cfg
         self.max_frames = max_frames
         self.cache_dtype = cache_dtype
