@@ -27,24 +27,27 @@ Serving config: weight-only quantization with the unrolled per-layer
 weight layout (`prepare_serving_params`) is ON by default at int4
 everywhere (UA2_BENCH_QUANT: 0=bf16, 1=int8, int4=local decoder+head
 int4 / int8 elsewhere, int4allg=group-wise scales, int4all=default).
-Measured batch-1 on one v5e-class chip (r2 layout + top-k-gather
-sampling):
+Measured batch-1 on one v5e-class chip:
 
-    quant     audio tok/s   ASR frames/s
-    bf16          419 (r1, stacked)
-    int8          906.5
-    int4allg     1070.2
-    int4all      1181-1205      218.1
+    quant     audio tok/s          layout
+    bf16          419              r1 stacked
+    int8          906.5            r2 unrolled
+    int4allg     1070.2            r2 unrolled
+    int4all      1181-1205         r2 unrolled + topk-gather
+    int4all      1243.6            r3 + norm/residual kernel folds
+    int4all      1285.9            r3 + chunk-major weight layout
+    int4all      1330.2            r3 + approx top-k default
 
 int4all is the max-throughput serving point (per-output-channel int4 on
 every matrix — the aggressive end of the quality/throughput knob; int8 is
 the conservative default for quality-critical serving; int4allg trades
-~11% speed for +2.7 dB quantization SNR). The headline metric stays
-batch-1 to match the reference's per-utterance decode loop (the batched
-path reaches 7207 tok/s at batch 8 and 11753 at batch 16). Per-kernel
-profile: docs/profile_decode_r2.md. UA2_BENCH_TASK=asr measures text-mode
-decode frames/s instead. UA2_BENCH_SCALE=tiny runs a CPU-sized smoke
-variant.
+~9% speed for +6.5 to +9.6 dB quantization SNR on heavy-tailed weights —
+docs/quant_quality_r3.md). The headline metric stays batch-1 to match the
+reference's per-utterance decode loop (the batched path reaches 7207
+tok/s at batch 8 and 11753 at batch 16, r2 layout). Per-kernel profiles:
+docs/profile_decode_r2.md, docs/profile_decode_r3.md. UA2_BENCH_TASK=asr
+measures text-mode decode frames/s instead. UA2_BENCH_SCALE=tiny runs a
+CPU-sized smoke variant. UA2_BENCH_APPROX=0 restores exact top-k.
 """
 
 from __future__ import annotations
