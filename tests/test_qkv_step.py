@@ -1,0 +1,131 @@
+"""Fused QKV decode-step kernel (`ops/qkv_step.py`): interpret-mode parity
+against the composed chain (rmsnorm -> dequantized matmul -> split -> rope),
+plus eligibility gates and decode_step integration on an eligible config."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from uniaudio2_tpu.ops import qkv_step
+from uniaudio2_tpu.ops.norms import rms_norm
+from uniaudio2_tpu.ops.quant import (
+    chunk_major, dequantize, dequantize4, dequantize4_grouped, quantize,
+    quantize4, quantize4_grouped,
+)
+from uniaudio2_tpu.ops.rope import apply_rope, rope_cache
+
+H, G, HD = 8, 4, 128          # q 1024 cols, k/v 512 each -> bc 512 eligible
+K = 512
+EPS = 1e-5
+
+
+def _composed(x, wd, norm_w, cos, sin):
+    hn = rms_norm(x, norm_w, EPS)
+    qkv = (hn @ wd.astype(jnp.float32)).astype(x.dtype)
+    q, k, v = jnp.split(qkv, [H * HD, (H + G) * HD], axis=-1)
+    b = x.shape[0]
+    q = apply_rope(q.reshape(b, H, 1, HD), cos, sin)   # cos (1, hd) bcasts
+    k = apply_rope(k.reshape(b, G, 1, HD), cos, sin)
+    return q.reshape(b, -1), k.reshape(b, -1), v
+
+
+def _mk(mode, key):
+    w = jax.random.normal(key, (K, (H + 2 * G) * HD), jnp.float32)
+    if mode == "int8":
+        q = quantize(w)
+        return q, dequantize(q, jnp.float32)
+    if mode == "int4":
+        q = quantize4(w)
+        return q, dequantize4(q, jnp.float32)
+    q = quantize4_grouped(w, 64)
+    return q, dequantize4_grouped(q, jnp.float32)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4", "int4g"])
+@pytest.mark.parametrize("chunked", [False, True])
+@pytest.mark.parametrize("batch", [1, 3])
+def test_qkv_step_matches_composed(mode, chunked, batch):
+    keys = jax.random.split(jax.random.PRNGKey(hash(mode) % 1000), 4)
+    wq, wd = _mk(mode, keys[0])
+    if chunked:
+        wq = chunk_major(wq)
+    x = jax.random.normal(keys[1], (batch, K), jnp.float32) * 0.3
+    norm_w = 1.0 + 0.1 * jax.random.normal(keys[2], (K,), jnp.float32)
+    cos_t, sin_t = rope_cache(16, HD)
+    pos = 7
+    cos, sin = cos_t[pos:pos + 1], sin_t[pos:pos + 1]
+
+    assert qkv_step.can_fuse(wq, x, H, G, HD)
+    with pltpu.force_tpu_interpret_mode():
+        q, k, v = qkv_step.qkv_rope_step(
+            x, wq, norm_w, EPS, cos[0], sin[0], H, G, HD)
+    qr, kr, vr = _composed(x, wd, norm_w, cos, sin)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(kr),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_can_fuse_gates():
+    wq, _ = _mk("int4", jax.random.PRNGKey(0))
+    x = jnp.zeros((1, K), jnp.float32)
+    assert qkv_step.can_fuse(wq, x, H, G, HD)
+    # plain (unquantized) weights: composed path
+    assert not qkv_step.can_fuse(jnp.zeros((K, (H + 2 * G) * HD)), x, H, G, HD)
+    # stream boundaries must land on chunk boundaries: hd 64 with 2 groups
+    # puts k at 128 cols < bc -> reject
+    assert not qkv_step.can_fuse(wq, x, H * 2 - 2, 1, HD)
+    # huge batch: composed path
+    assert not qkv_step.can_fuse(wq, jnp.zeros((200, K)), H, G, HD)
+
+
+def test_decode_step_uses_fused_kernel(monkeypatch):
+    """decode_step on an eligible quantized config matches the composed
+    (env-gated-off) path exactly at the sequence level."""
+    from uniaudio2_tpu.config import GPTConfig
+    from uniaudio2_tpu.models import gpt
+    from uniaudio2_tpu.ops.kv_cache import init_cache
+
+    cfg = GPTConfig(
+        name="qkv-fuse-test", n_layer=2, n_embd=K, n_head=H,
+        n_query_groups=G, head_size=HD, intermediate_size=256,
+        padded_vocab_size=64, vocab_size=64, block_size=64, rotary_percentage=1.0,
+    )
+    params = gpt.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    from uniaudio2_tpu.ops.quant import quantize_gpt_params
+
+    qparams = quantize_gpt_params(params, bits=4)
+    qparams = gpt.unstack_layers(qparams)
+    qparams["layers"] = [
+        {k: (chunk_major(v) if k == "qkv_w" else v) for k, v in l.items()}
+        for l in qparams["layers"]
+    ]
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 1, K), jnp.float32) * 0.1
+
+    from uniaudio2_tpu.ops import quant as quantmod
+
+    monkeypatch.setattr(quantmod, "_use_pallas", lambda: True)
+    monkeypatch.setenv("UA2_QKV_FUSED", "1")
+    calls = []
+    real = qkv_step.qkv_rope_step
+    monkeypatch.setattr(qkv_step, "qkv_rope_step",
+                        lambda *a, **kw: calls.append(1) or real(*a, **kw))
+    with pltpu.force_tpu_interpret_mode():
+        out_fused, cache_fused = gpt.decode_step(
+            qparams, cfg, x, cache, jnp.int32(3))
+    assert len(calls) == cfg.n_layer  # the fused kernel actually engaged
+    monkeypatch.setenv("UA2_QKV_FUSED", "0")
+    with pltpu.force_tpu_interpret_mode():
+        out_ref, cache_ref = gpt.decode_step(
+            qparams, cfg, x, cache, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache_fused.k),
+                               np.asarray(cache_ref.k),
+                               rtol=2e-4, atol=2e-4)

@@ -460,3 +460,33 @@ def test_prepare_serving_chunk_major_decode():
             os.environ.pop("UA2_CHUNK_MAJOR", None)
     np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
     np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+
+
+def test_residual_fold_matches_separate_add():
+    """matmul(residual=r) == matmul() + r across quant types and both the
+    Pallas (interpret) and fallback paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jax.random.normal(jax.random.PRNGKey(40), (2, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(41), (256, 512)) * 0.05
+    for make in (quant.quantize, quant.quantize4,
+                 lambda ww: quant.quantize4_grouped(ww, 64),
+                 lambda ww: quant.chunk_major(quant.quantize4(ww), 128)):
+        q = make(w)
+        r = jax.random.normal(jax.random.PRNGKey(42), (2, 512), jnp.float32)
+        base = quant.matmul(x, q)
+        folded = quant.matmul(x, q, residual=r)
+        np.testing.assert_allclose(np.asarray(folded),
+                                   np.asarray(base + r), rtol=1e-5, atol=1e-5)
+        with pltpu.force_tpu_interpret_mode():
+            if isinstance(q, quant.QuantizedLinear4G):
+                pk = quant._pallas_int4g_matmul(
+                    x, q.values, q.scale, residual=r)
+            elif isinstance(q, quant.QuantizedLinear4):
+                pk = quant._pallas_int4_matmul(
+                    x, q.values, q.scale, residual=r)
+            else:
+                pk = quant._pallas_int8_matmul(
+                    x, q.values, q.scale, residual=r)
+        np.testing.assert_allclose(np.asarray(pk), np.asarray(base + r),
+                                   rtol=1e-4, atol=1e-4)

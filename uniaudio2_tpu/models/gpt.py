@@ -141,9 +141,26 @@ def _qkv(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Project + split + head-reshape + RoPE.
     Returns q (B,H,T,hd), k/v (B,G,T,hd). ``pre_norm`` folds the leading
-    RMSNorm into the projection (`ops/quant.matmul`)."""
+    RMSNorm into the projection (`ops/quant.matmul`).
+
+    Quantized single-token steps route through the fused QKV kernel
+    (`ops/qkv_step.py`): norm + GEMV + rope + stream split in ONE Pallas
+    call (the decode positions are shared across batch rows, so one rope
+    row covers the whole step)."""
     b, t, _ = x.shape
     h, g, hd = cfg.n_head, cfg.n_query_groups, cfg.head_size
+    if (pre_norm is not None and t == 1
+            and cfg.rope_n_elem == hd):
+        from uniaudio2_tpu.ops import qkv_step
+        from uniaudio2_tpu.ops.quant import _use_pallas
+
+        if (_use_pallas() and qkv_step.enabled()
+                and qkv_step.can_fuse(layer["qkv_w"], x[:, 0], h, g, hd)):
+            q2, k2, v2 = qkv_step.qkv_rope_step(
+                x[:, 0], layer["qkv_w"], pre_norm[0], pre_norm[1],
+                cos[0], sin[0], h, g, hd)
+            return (q2.reshape(b, h, 1, hd), k2.reshape(b, g, 1, hd),
+                    v2.reshape(b, g, 1, hd))
     qkv = matmul(x, layer["qkv_w"], pre_norm=pre_norm)
     q, k, v = jnp.split(qkv, [h * hd, (h + g) * hd], axis=-1)
     q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
@@ -385,8 +402,8 @@ def decode_step(
         attn = decode_attention(q, k_l, v_l, positions, scale=scale,
                                 key_valid=key_valid, logit_softcap=softcap,
                                 window=win)
-        attn = matmul(attn, layer["attn_proj_w"])
-        xc = xc + attn
+        # residual add folded into the attn-proj kernel (XLA add elsewhere)
+        xc = matmul(attn, layer["attn_proj_w"], residual=xc)
         xc = _mlp_block(layer, xc, cfg)
         return xc, (k_l, v_l)
 

@@ -325,8 +325,12 @@ def _maybe_norm(x, n_ref, eps: float):
             * n_ref[:].astype(jnp.float32)).astype(x.dtype)
 
 
-def _int8_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
-    n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5,
+                        has_norm: bool = False, has_res: bool = False):
+    rest = list(rest)
+    n_ref = rest.pop(0) if has_norm else None
+    r_ref = rest.pop(0) if has_res else None
+    o_ref = rest[0]
     x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
     # dequantize the int8 tile in VMEM in bf16 (f32 copies blow scoped vmem
     # for big K); the MXU accumulates in f32 via preferred_element_type
@@ -335,14 +339,16 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
         wv = wv[0]
     w = wv.astype(x.dtype)                            # (K, Nt)
     s = s_ref[:].astype(jnp.float32)                  # (1, Nt)
-    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    o_ref[:] = (acc * s).astype(o_ref.dtype)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32) * s
+    if has_res:
+        acc += r_ref[:].astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _pallas_int8_matmul(
     x: jax.Array, values: jax.Array, scale: jax.Array,
     *, block_n: Optional[int] = None, block_m: int = 128, out_dtype=None,
-    pre_norm=None,
+    pre_norm=None, residual=None,
 ) -> jax.Array:
     """x (M, K) bf16 @ int8 (K, N) * scale (N,) -> (M, N).
     Grid over (M, N) tiles; the K axis stays whole (max 8192 here).
@@ -402,8 +408,14 @@ def _pallas_int8_matmul(
         in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(nw.reshape(1, k))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_res(residual, mg * bm, n))
     out = pl.pallas_call(
-        functools.partial(_int8_matmul_kernel, norm_eps=eps),
+        functools.partial(_int8_matmul_kernel, norm_eps=eps,
+                          has_norm=pre_norm is not None,
+                          has_res=residual is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -418,8 +430,21 @@ def _pallas_int8_matmul(
     return out[:m, :n_orig]
 
 
-def _int4_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
-    n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+def _pad_res(residual: jax.Array, m_pad: int, n_pad: int) -> jax.Array:
+    """Pad a (M, n_true) residual to the kernel's padded (m_pad, n_pad)
+    output grid (zeros land on sliced-off columns/rows)."""
+    m, n = residual.shape
+    if m == m_pad and n == n_pad:
+        return residual
+    return jnp.pad(residual, ((0, m_pad - m), (0, n_pad - n)))
+
+
+def _int4_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5,
+                        has_norm: bool = False, has_res: bool = False):
+    rest = list(rest)
+    n_ref = rest.pop(0) if has_norm else None
+    r_ref = rest.pop(0) if has_res else None
+    o_ref = rest[0]
     x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
     wv = w_ref[:]
     if wv.ndim == 3:                                  # chunk-major
@@ -428,13 +453,16 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, *rest, norm_eps: float = 1e-5):
     k2 = lo.shape[0]
     acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
     acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
-    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    acc = acc * s_ref[:].astype(jnp.float32)
+    if has_res:
+        acc += r_ref[:].astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _pallas_int4_matmul(
     x: jax.Array, values: jax.Array, scale: jax.Array,
     *, block_n: Optional[int] = None, block_m: int = 128, out_dtype=None,
-    pre_norm=None,
+    pre_norm=None, residual=None,
 ) -> jax.Array:
     """x (M, K) bf16 @ packed-int4 (K/2, N) * scale (N,) -> (M, N).
     Same tiling policy as the int8 kernel; tiles are half the bytes, so the
@@ -489,8 +517,14 @@ def _pallas_int4_matmul(
         in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(nw.reshape(1, k))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_res(residual, mg * bm, n))
     out = pl.pallas_call(
-        functools.partial(_int4_matmul_kernel, norm_eps=eps),
+        functools.partial(_int4_matmul_kernel, norm_eps=eps,
+                          has_norm=pre_norm is not None,
+                          has_res=residual is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -517,8 +551,12 @@ def _scale_rows(w, s, group: int):
 
 
 def _int4g_matmul_kernel(x_ref, w_ref, s_ref, *rest, group: int,
-                         norm_eps: float = 1e-5):
-    n_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+                         norm_eps: float = 1e-5, has_norm: bool = False,
+                         has_res: bool = False):
+    rest = list(rest)
+    n_ref = rest.pop(0) if has_norm else None
+    r_ref = rest.pop(0) if has_res else None
+    o_ref = rest[0]
     x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
     wv = w_ref[:]
     if wv.ndim == 3:                                  # chunk-major
@@ -531,13 +569,15 @@ def _int4g_matmul_kernel(x_ref, w_ref, s_ref, *rest, group: int,
     hi = _scale_rows(hi, s[g2:], group).astype(x.dtype)
     acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
     acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
+    if has_res:
+        acc += r_ref[:].astype(jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _pallas_int4g_matmul(
     x: jax.Array, values: jax.Array, scale: jax.Array,
     *, block_n: Optional[int] = None, block_m: int = 128, out_dtype=None,
-    pre_norm=None,
+    pre_norm=None, residual=None,
 ) -> jax.Array:
     """x (M, K) bf16 @ group-scaled packed-int4 (K/2, N) -> (M, N).
     Same tiling as the int4 kernel; the scale block is (G, bn). Chunk-major
@@ -589,8 +629,14 @@ def _pallas_int4g_matmul(
         in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(nw.reshape(1, k))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_res(residual, mg * bm, n))
     out = pl.pallas_call(
-        functools.partial(_int4g_matmul_kernel, group=group, norm_eps=eps),
+        functools.partial(_int4g_matmul_kernel, group=group, norm_eps=eps,
+                          has_norm=pre_norm is not None,
+                          has_res=residual is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -751,7 +797,7 @@ def _use_pallas() -> bool:
 
 def matmul(
     x: jax.Array, w: Union[jax.Array, QuantizedLinear, QuantizedLinear4],
-    out_dtype=None, pre_norm=None,
+    out_dtype=None, pre_norm=None, residual=None,
 ) -> jax.Array:
     """``x @ w`` over the last two axes; ``w`` may be quantized (int8/int4).
 
@@ -759,8 +805,9 @@ def matmul(
     values (K/2, N). ``out_dtype`` forces the output dtype (e.g. f32 logits).
     ``pre_norm=(weight, eps)`` folds a leading RMSNorm of ``x`` into the
     Pallas kernels (applied in XLA on the fallback paths) — the decode hot
-    loop's norm->matmul pairs become one kernel each.
-    """
+    loop's norm->matmul pairs become one kernel each. ``residual`` (same
+    shape as the output) likewise folds the transformer residual add into
+    the row-quantized Pallas kernels (XLA add elsewhere)."""
     def _normed(x2):
         if pre_norm is None:
             return x2
@@ -768,19 +815,25 @@ def matmul(
 
         return rms_norm(x2, pre_norm[0], pre_norm[1])
 
+    def _res2(n):
+        return residual.reshape(-1, n) if residual is not None else None
+
     if isinstance(w, QuantizedLinear4):
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
         if _use_pallas() and k % 256 == 0:
             out = _pallas_int4_matmul(x2, w.values, w.scale,
-                                      out_dtype=out_dtype, pre_norm=pre_norm)
+                                      out_dtype=out_dtype, pre_norm=pre_norm,
+                                      residual=_res2(w.scale.shape[-1]))
         else:
             wd = dequantize4(w, x.dtype)
             out = jnp.einsum(
                 "mk,kn->mn", _normed(x2), wd,
                 preferred_element_type=jnp.float32
             ).astype(x.dtype)
+            if residual is not None:
+                out = out + _res2(out.shape[-1]).astype(out.dtype)
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
     if isinstance(w, QuantizedLinear4G):
@@ -790,13 +843,16 @@ def matmul(
         group = k // w.scale.shape[-2]
         if _use_pallas() and k % 256 == 0 and (k // 2) % group == 0:
             out = _pallas_int4g_matmul(x2, w.values, w.scale,
-                                       out_dtype=out_dtype, pre_norm=pre_norm)
+                                       out_dtype=out_dtype, pre_norm=pre_norm,
+                                       residual=_res2(w.scale.shape[-1]))
         else:
             wd = dequantize4_grouped(w, x.dtype)
             out = jnp.einsum(
                 "mk,kn->mn", _normed(x2), wd,
                 preferred_element_type=jnp.float32
             ).astype(x.dtype)
+            if residual is not None:
+                out = out + _res2(out.shape[-1]).astype(out.dtype)
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
     if isinstance(w, QuantizedLinearC4):
@@ -811,6 +867,8 @@ def matmul(
             out = jnp.einsum(
                 "mk,kn->mn", x2, wd, preferred_element_type=jnp.float32
             ).astype(x.dtype)
+        if residual is not None:
+            out = out + _res2(out.shape[-1]).astype(out.dtype)
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
     if isinstance(w, QuantizedLinearC4G):
@@ -826,6 +884,8 @@ def matmul(
             out = jnp.einsum(
                 "mk,kn->mn", x2, wd, preferred_element_type=jnp.float32
             ).astype(x.dtype)
+        if residual is not None:
+            out = out + _res2(out.shape[-1]).astype(out.dtype)
         out = out.reshape(*lead, -1)
         return out.astype(out_dtype) if out_dtype else out
     if not isinstance(w, QuantizedLinear):
@@ -836,18 +896,23 @@ def matmul(
             "...k,kn->...n", x, w,
             preferred_element_type=out_dtype or jnp.float32,
         )
+        if residual is not None:
+            out = out + residual.astype(out.dtype)
         return out if out_dtype else out.astype(x.dtype)
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     if _use_pallas() and k % 128 == 0:
         out = _pallas_int8_matmul(x2, w.values, w.scale, out_dtype=out_dtype,
-                                  pre_norm=pre_norm)
+                                  pre_norm=pre_norm,
+                                  residual=_res2(w.scale.shape[-1]))
     else:
         wd = dequantize(w, x.dtype)
         out = jnp.einsum(
             "mk,kn->mn", _normed(x2), wd, preferred_element_type=jnp.float32
         ).astype(x.dtype)
+        if residual is not None:
+            out = out + _res2(out.shape[-1]).astype(out.dtype)
     out = out.reshape(*lead, -1)
     return out.astype(out_dtype) if out_dtype else out
 
