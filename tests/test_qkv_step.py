@@ -12,8 +12,9 @@ from jax.experimental.pallas import tpu as pltpu
 from uniaudio2_tpu.ops import qkv_step
 from uniaudio2_tpu.ops.norms import rms_norm
 from uniaudio2_tpu.ops.quant import (
-    chunk_major, dequantize, dequantize4, dequantize4_grouped, quantize,
-    quantize4, quantize4_grouped,
+    chunk_major, dequantize, dequantize4, dequantize4_grouped,
+    dequantize4_interleaved, dequantize4_interleaved_grouped, quantize,
+    quantize4, quantize4_grouped, to_interleaved,
 )
 from uniaudio2_tpu.ops.rope import apply_rope, rope_cache
 
@@ -40,11 +41,17 @@ def _mk(mode, key):
     if mode == "int4":
         q = quantize4(w)
         return q, dequantize4(q, jnp.float32)
+    if mode == "int4i":
+        q = to_interleaved(quantize4(w))
+        return q, dequantize4_interleaved(q, jnp.float32)
+    if mode == "int4ig":
+        q = to_interleaved(quantize4_grouped(w, 64))
+        return q, dequantize4_interleaved_grouped(q, jnp.float32)
     q = quantize4_grouped(w, 64)
     return q, dequantize4_grouped(q, jnp.float32)
 
 
-@pytest.mark.parametrize("mode", ["int8", "int4", "int4g"])
+@pytest.mark.parametrize("mode", ["int8", "int4", "int4g", "int4i", "int4ig"])
 @pytest.mark.parametrize("chunked", [False, True])
 @pytest.mark.parametrize("batch", [1, 3])
 def test_qkv_step_matches_composed(mode, chunked, batch):

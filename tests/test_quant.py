@@ -490,3 +490,163 @@ def test_residual_fold_matches_separate_add():
                     x, q.values, q.scale, residual=r)
         np.testing.assert_allclose(np.asarray(pk), np.asarray(base + r),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Row-interleaved int4 (serving bitcast layout)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("src", ["int4", "int4g", "c4", "c4g"])
+def test_interleaved_roundtrip_exact(src):
+    """to_interleaved is a pure byte-order transform: dequantized values are
+    EXACTLY the source dequantized values (same nibbles, same scales)."""
+    w = jax.random.normal(jax.random.PRNGKey(50), (256, 384)) * 0.05
+    if src == "int4":
+        q = quant.quantize4(w)
+        ref = quant.dequantize4(q, jnp.float32)
+    elif src == "int4g":
+        q = quant.quantize4_grouped(w, 64)
+        ref = quant.dequantize4_grouped(q, jnp.float32)
+    elif src == "c4":
+        q = quant.quantize4_cols(w)
+        ref = quant.dequantize4_cols(q, jnp.float32)
+    else:
+        q = quant.quantize4_cols_grouped(w, 64)
+        ref = quant.dequantize4_cols_grouped(q, jnp.float32)
+    qi = quant.to_interleaved(q)
+    grouped = src.endswith("g")
+    assert isinstance(qi, quant.QuantizedLinearI4G if grouped
+                      else quant.QuantizedLinearI4)
+    assert qi.values.shape[-2] == 128          # K/2 byte rows
+    deq = (quant.dequantize4_interleaved_grouped(qi, jnp.float32) if grouped
+           else quant.dequantize4_interleaved(qi, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(deq), np.asarray(ref))
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+@pytest.mark.parametrize("chunked", [False, True])
+def test_int4i_pallas_kernel_interpret(grouped, chunked):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jax.random.normal(jax.random.PRNGKey(51), (2, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(52), (256, 512)) * 0.05
+    q = quant.to_interleaved(
+        quant.quantize4_grouped(w, 64) if grouped else quant.quantize4(w))
+    deq = (quant.dequantize4_interleaved_grouped(q, jnp.float32) if grouped
+           else quant.dequantize4_interleaved(q, jnp.float32))
+    if chunked:
+        q = quant.chunk_major(q, 256)
+        assert q.values.ndim == 3
+    ref = np.asarray(x) @ np.asarray(deq)
+    with pltpu.force_tpu_interpret_mode():
+        out = quant._pallas_int4i_matmul(x, q.values, q.scale)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-3)
+    # norm + residual folds
+    nw = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(53), (256,))
+    r = jax.random.normal(jax.random.PRNGKey(54), (2, 512), jnp.float32)
+    from uniaudio2_tpu.ops.norms import rms_norm
+
+    refn = np.asarray(rms_norm(x, nw, 1e-5) @ deq + r)
+    with pltpu.force_tpu_interpret_mode():
+        outn = quant._pallas_int4i_matmul(
+            x, q.values, q.scale, pre_norm=(nw, 1e-5), residual=r)
+    np.testing.assert_allclose(np.asarray(outn), refn, rtol=1e-2, atol=1e-3)
+
+
+def test_int4i_matmul_dispatch_fallback():
+    """The matmul dispatcher handles I4/I4G off-TPU via the dequant path."""
+    x = jax.random.normal(jax.random.PRNGKey(55), (3, 5, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(56), (256, 192)) * 0.05
+    for make, deqf in [
+        (quant.quantize4, quant.dequantize4),
+        (lambda ww: quant.quantize4_grouped(ww, 64),
+         quant.dequantize4_grouped),
+    ]:
+        q = make(w)
+        qi = quant.to_interleaved(q)
+        out = quant.matmul(x, qi)
+        ref = quant.matmul(x, q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        r = jax.random.normal(jax.random.PRNGKey(57), (3, 5, 192))
+        out_r = quant.matmul(x, qi, residual=r)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref + r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+@pytest.mark.parametrize("chunked", [False, True])
+def test_fused_swiglu_interleaved(grouped, chunked):
+    """Fused SwiGLU with all-interleaved weights matches the source-layout
+    fused kernel (same nibble values -> tight tolerance)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from uniaudio2_tpu.ops import fused_mlp
+
+    k, i, n = 256, 512, 256
+    k1, k2, k3, kx = jax.random.split(jax.random.PRNGKey(58), 4)
+    w1 = jax.random.normal(k1, (k, i)) * 0.05
+    w2 = jax.random.normal(k2, (k, i)) * 0.05
+    w3 = jax.random.normal(k3, (i, n)) * 0.05
+    x = jax.random.normal(kx, (2, k), jnp.float32)
+    if grouped:
+        q1, q2 = quant.quantize4_grouped(w1, 64), quant.quantize4_grouped(w2, 64)
+        q3 = quant.quantize4_cols_grouped(w3, 64)
+    else:
+        q1, q2 = quant.quantize4(w1), quant.quantize4(w2)
+        q3 = quant.quantize4_cols(w3)
+    i1, i2, i3 = (quant.to_interleaved(q) for q in (q1, q2, q3))
+    if chunked:
+        i1, i2 = quant.chunk_major(i1, 256), quant.chunk_major(i2, 256)
+    assert fused_mlp.can_fuse(i1, i2, i3, x)
+    nw = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(59), (k,))
+    r = jax.random.normal(jax.random.PRNGKey(60), (2, n), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mlp.fused_swiglu(x, i1, i2, i3, norm_w=nw, residual=r)
+        ref = fused_mlp.fused_swiglu(x, q1, q2, q3, norm_w=nw, residual=r)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_prepare_serving_int4i_decode():
+    """Tiny int4 unified decode with the interleaved serving layout matches
+    the non-interleaved layout greedily end to end (identical dequantized
+    values -> identical CPU decode math)."""
+    import os
+
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.engine import tasks
+    from uniaudio2_tpu.engine.decode import DecodeEngine
+    from uniaudio2_tpu.models import unified
+
+    cfg = UnifiedModelConfig.tiny()
+    base = unified.init_params(jax.random.PRNGKey(0), cfg)
+    qp = quant.quantize_unified_params(
+        jax.tree_util.tree_map(lambda a: a, base),
+        int4_modules=("decoder", "audio_head", "projection_w"))
+    grid, mask = tasks.prepare_tts(np.arange(1, 5), np.arange(2, 8),
+                                   cfg.tokens)
+
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["UA2_INT4I"] = flag
+        try:
+            sp = unified.prepare_serving_params(
+                jax.tree_util.tree_map(lambda a: a, qp))
+            if flag == "1":
+                found = [
+                    v for v in sp["decoder"]["layers"][0].values()
+                    if isinstance(v, (quant.QuantizedLinearI4,
+                                      quant.QuantizedLinearI4G))
+                ]
+                assert found, "interleave did not apply to decoder leaves"
+            eng = DecodeEngine(sp, cfg, max_frames=6,
+                               cache_dtype=jnp.float32, buckets=(32,))
+            r, s = eng.generate_audio(grid, mask, topk=1)
+            outs[flag] = (np.asarray(r), np.asarray(s))
+        finally:
+            os.environ.pop("UA2_INT4I", None)
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])

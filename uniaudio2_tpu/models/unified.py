@@ -148,6 +148,31 @@ def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
                 jax.tree_util.tree_map(lambda a: a[i], head)
                 for i in range(ncb)
             ]
+    if os.environ.get("UA2_INT4I", "1") != "0" and unroll:
+        # Row-interleaved int4 re-layout: every int4 leaf (K-split and
+        # column-packed alike) becomes `QuantizedLinearI4*`, whose kernels
+        # replace the int32 nibble shift chain (~1.0 ms/frame of unhidden
+        # VPU time, docs/profile_decode_r3.md) with one hardware bitcast.
+        # Same quantized values + scales — a pure byte-order transform.
+        # Disable with UA2_INT4I=0.
+        from uniaudio2_tpu.ops.quant import to_interleaved
+
+        ileaves = ("qkv_w", "attn_proj_w", "fc1_w", "fc2_w", "mlp_proj_w",
+                   "lm_head_w")
+        for sub in ("backbone", "decoder", "understanding_expert",
+                    "generation_expert"):
+            gp = dict(out[sub])
+            if "lm_head_w" in gp:
+                gp["lm_head_w"] = to_interleaved(gp["lm_head_w"])
+            gp["layers"] = [
+                {k: (to_interleaved(v) if k in ileaves else v)
+                 for k, v in layer.items()}
+                for layer in gp["layers"]
+            ]
+            out[sub] = gp
+        out["audio_head"] = [to_interleaved(h) for h in out["audio_head"]]
+        if hasattr(out.get("projection_w"), "values"):
+            out["projection_w"] = to_interleaved(out["projection_w"])
     if os.environ.get("UA2_CHUNK_MAJOR", "1") != "0" and unroll:
         from uniaudio2_tpu.ops.quant import chunk_major
 

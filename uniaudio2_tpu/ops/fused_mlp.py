@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from uniaudio2_tpu.ops.quant import (
     QuantizedLinear, QuantizedLinear4, QuantizedLinear4G, QuantizedLinearC4,
-    QuantizedLinearC4G, _scale_rows, _unpack4,
+    QuantizedLinearC4G, QuantizedLinearI4, QuantizedLinearI4G, _scale_rows,
+    _unpack4,
 )
 
 _VMEM_BUDGET = 6 * 2 ** 20  # per-block bytes cap (double-buffered by Mosaic)
@@ -41,7 +42,7 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             *rest, w12_int4: bool, w3_int4: bool,
             w12_group: int = 0, w3_group: int = 0,
             has_norm: bool = False, norm_eps: float = 1e-5,
-            res_cols: int = 0):
+            res_cols: int = 0, interleaved: bool = False):
     """``w12_group``/``w3_group`` > 0 switch the scale semantics to
     group-wise (`QuantizedLinear4G` / `QuantizedLinearC4G`): s1/s2 blocks
     are (G, bc) over the full K, the s3 block is (bc/group, 2, half) for
@@ -71,6 +72,18 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
         wv = w_ref[:]
         if wv.ndim == 3:                            # chunk-major (1, kw, bc)
             wv = wv[0]
+        if interleaved:
+            # row-interleaved storage: one bitcast reconstructs the (K, bc)
+            # int4 tile on the hardware sub-byte path — no shift chain
+            w4 = pltpu.bitcast(wv, jnp.int4)
+            if w12_group:
+                w = _scale_rows(w4.astype(jnp.float32),
+                                s_ref[:].astype(jnp.float32),
+                                w12_group).astype(x.dtype)
+                return jnp.dot(x, w, preferred_element_type=jnp.float32)
+            acc = jnp.dot(x, w4.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+            return acc * s_ref[:].astype(jnp.float32)
         if w12_int4 and w12_group:
             # grouped scales are multiplied into the weight tile (one VPU
             # pass) so the contraction stays two big MXU matmuls — the
@@ -98,7 +111,16 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     b = gemv(w2_ref, s2_ref)
     h = (jax.nn.silu(a) * b).astype(x.dtype)        # (M, bc)
 
-    if w3_int4:
+    if interleaved and w3_int4:
+        w4 = pltpu.bitcast(w3_ref[:], jnp.int4)     # (bc, N)
+        if w3_group:
+            s3 = s3_ref[:].astype(jnp.float32)      # (bc/group, N)
+            w3w = _scale_rows(w4.astype(jnp.float32), s3,
+                              w3_group).astype(x.dtype)
+        else:
+            w3w = w4.astype(x.dtype)                # scaled at final write
+        part = jnp.dot(h, w3w, preferred_element_type=jnp.float32)
+    elif w3_int4:
         if w3_group:
             lo, hi = _unpack4(w3_ref[:], jnp.float32)  # (bc, N/2) each
             s3 = s3_ref[:].astype(jnp.float32)      # (bc/group, 2, half)
@@ -129,7 +151,7 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             out = acc_ref[:] * s3_ref[:].astype(jnp.float32)
         if res_cols:
             r = r_ref[:].astype(jnp.float32)        # (M, n_true)
-            if w3_int4:
+            if w3_int4 and not interleaved:
                 # out layout: [lo cols ++ pad][hi cols ++ pad]
                 half = out.shape[-1] // 2
                 nh = res_cols // 2
@@ -138,7 +160,7 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
                     jnp.pad(r[:, nh:],
                             ((0, 0), (0, half - (res_cols - nh)))),
                 ], axis=-1)
-            elif out.shape[-1] != res_cols:         # lane-padded int8 out
+            elif out.shape[-1] != res_cols:         # lane-padded out
                 r = jnp.pad(r, ((0, 0), (0, out.shape[-1] - res_cols)))
             out = out + r
         o_ref[:] = out.astype(o_ref.dtype)
@@ -146,14 +168,20 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
 
 def can_fuse(w1, w2, w3, x: jax.Array) -> bool:
     """Fusable: quantized weights, small M (decode steps; prefill's large-M
-    matmuls are MXU-efficient unfused), aligned dims."""
+    matmuls are MXU-efficient unfused), aligned dims. Interleaved (I4/I4G)
+    weights must be all-interleaved across w1/w2/w3 or paired with an int8
+    down-projection."""
+    interleaved = isinstance(w1, (QuantizedLinearI4, QuantizedLinearI4G))
     if not isinstance(w1, (QuantizedLinear, QuantizedLinear4,
-                           QuantizedLinear4G)):
+                           QuantizedLinear4G, QuantizedLinearI4,
+                           QuantizedLinearI4G)):
         return False
     if type(w1) is not type(w2):
         return False
-    if not isinstance(w3, (QuantizedLinear, QuantizedLinearC4,
-                           QuantizedLinearC4G)):
+    w3_ok = (QuantizedLinear, QuantizedLinearI4, QuantizedLinearI4G) \
+        if interleaved else (QuantizedLinear, QuantizedLinearC4,
+                             QuantizedLinearC4G)
+    if not isinstance(w3, w3_ok):
         return False
     import math
 
@@ -171,13 +199,18 @@ def can_fuse(w1, w2, w3, x: jax.Array) -> bool:
         return False
     if width(w1.values) != i or width(w2.values) != i:
         return False  # lane-padded I would index pad rows of W3
-    if w3.values.shape[-2] != i:
+    w3_rows = i // 2 if isinstance(w3, (QuantizedLinearI4,
+                                        QuantizedLinearI4G)) else i
+    if w3.values.shape[-2] != w3_rows:
         return False
     if isinstance(w1, QuantizedLinear4G):
         # nibble halves must align with whole scale groups
         if (k // 2) % (k // w1.scale.shape[-2]):
             return False
-    if isinstance(w3, QuantizedLinearC4G):
+    if isinstance(w1, QuantizedLinearI4G):
+        if k % w1.scale.shape[-2]:
+            return False
+    if isinstance(w3, (QuantizedLinearC4G, QuantizedLinearI4G)):
         if i % w3.scale.shape[-2]:
             return False
         # the chunk width bc can shrink to 128 under the VMEM cap; whole
@@ -209,21 +242,35 @@ def fused_swiglu(
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    w12_int4 = isinstance(w1, (QuantizedLinear4, QuantizedLinear4G))
-    w3_int4 = isinstance(w3, (QuantizedLinearC4, QuantizedLinearC4G))
+    interleaved = isinstance(w1, (QuantizedLinearI4, QuantizedLinearI4G))
+    w12_int4 = isinstance(w1, (QuantizedLinear4, QuantizedLinear4G,
+                               QuantizedLinearI4, QuantizedLinearI4G))
+    w3_int4 = isinstance(w3, (QuantizedLinearC4, QuantizedLinearC4G,
+                              QuantizedLinearI4, QuantizedLinearI4G))
     w12_group = (k // w1.scale.shape[-2]
-                 if isinstance(w1, QuantizedLinear4G) else 0)
-    w3_grouped = isinstance(w3, QuantizedLinearC4G)
+                 if isinstance(w1, (QuantizedLinear4G, QuantizedLinearI4G))
+                 else 0)
+    w3_grouped = isinstance(w3, (QuantizedLinearC4G, QuantizedLinearI4G))
 
     i_true = w1.scale.shape[-1]          # == stored width (can_fuse checks)
     n_true = w3.scale.shape[-1]
-    n_stored = w3.values.shape[-1]       # N (int8) or padded N/2 (int4)
+    n_stored = w3.values.shape[-1]       # N (int8/interleaved) or pad N/2
     w3_group = i_true // w3.scale.shape[-2] if w3_grouped else 0
 
     s1 = w1.scale
     s2 = w2.scale
     s3 = w3.scale
-    if w3_grouped:
+    if interleaved and w3_int4:
+        # interleaved down-projection: true-width output like int8; scales
+        # are (N,) -> (1, n_stored) or grouped (G3, N) -> (G3, n_stored)
+        out_width = n_stored
+        if s3.shape[-1] != n_stored:
+            pad = ((0, 0), (0, n_stored - s3.shape[-1])) if w3_grouped \
+                else ((0, n_stored - s3.shape[-1]),)
+            s3 = jnp.pad(s3, pad, constant_values=1.0)
+        if not w3_grouped:
+            s3 = s3.reshape(1, -1)
+    elif w3_grouped:
         # chunk-local scales: (G3, 2, half) — lo-column scales in [:, 0],
         # hi-column in [:, 1]; the kernel applies them per chunk
         half = n_stored
@@ -256,11 +303,13 @@ def fused_swiglu(
     # chunk width over I: chunk-major storage dictates it; otherwise as
     # wide as the VMEM budget allows; must contain whole w3 scale groups
     # when grouped (group=128 divides any bc here)
+    w3_i = interleaved and w3_int4
     if w1.values.ndim == 3:
         bc = w1.values.shape[2]
     else:
         bc = 512
-        per_chunk = (k // (2 if w12_int4 else 1)) * 2 + n_stored  # B/I-row
+        per_chunk = (k // (2 if w12_int4 else 1)) * 2 \
+            + (n_stored // 2 if w3_i else n_stored)               # B/I-row
         while bc > 128 and bc * per_chunk > _VMEM_BUDGET:
             bc //= 2
         while i_true % bc:
@@ -271,7 +320,10 @@ def fused_swiglu(
     s12_rows = s1.shape[-2] if w12_group else 1
     s1_in = s1 if w12_group else s1.reshape(1, -1)
     s2_in = s2 if w12_group else s2.reshape(1, -1)
-    if w3_grouped:
+    if w3_grouped and w3_i:
+        s3_spec = pl.BlockSpec((bc // w3_group, n_stored),
+                               lambda c: (c, 0), memory_space=pltpu.VMEM)
+    elif w3_grouped:
         s3_spec = pl.BlockSpec((bc // w3_group, 2, n_stored),
                                lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
     else:
@@ -280,7 +332,8 @@ def fused_swiglu(
     kernel = functools.partial(_kernel, w12_int4=w12_int4, w3_int4=w3_int4,
                                w12_group=w12_group, w3_group=w3_group,
                                has_norm=norm_w is not None, norm_eps=norm_eps,
-                               res_cols=n_true if residual is not None else 0)
+                               res_cols=n_true if residual is not None else 0,
+                               interleaved=interleaved)
     w12_spec = (pl.BlockSpec((1, kw, bc), lambda c: (c, 0, 0),
                              memory_space=pltpu.VMEM)
                 if w1.values.ndim == 3 else
@@ -294,7 +347,7 @@ def fused_swiglu(
         w12_spec,
         pl.BlockSpec((s12_rows, bc), lambda c: (0, c),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bc, n_stored), lambda c: (c, 0),
+        pl.BlockSpec((bc // 2 if w3_i else bc, n_stored), lambda c: (c, 0),
                      memory_space=pltpu.VMEM),
         s3_spec,
     ]
@@ -322,7 +375,7 @@ def fused_swiglu(
         ),
     )(*operands)
 
-    if w3_int4:
+    if w3_int4 and not interleaved:
         half = n_stored
         nh = n_true // 2
         out = jnp.concatenate([out[:, :nh], out[:, half:half + nh]], axis=-1)

@@ -32,11 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from uniaudio2_tpu.ops.quant import (
-    QuantizedLinear, QuantizedLinear4, QuantizedLinear4G, _scale_rows,
-    _unpack4,
+    QuantizedLinear, QuantizedLinear4, QuantizedLinear4G, QuantizedLinearI4,
+    QuantizedLinearI4G, _scale_rows, _unpack4,
 )
 
-QKVWeight = Union[QuantizedLinear, QuantizedLinear4, QuantizedLinear4G]
+QKVWeight = Union[QuantizedLinear, QuantizedLinear4, QuantizedLinear4G,
+                  QuantizedLinearI4, QuantizedLinearI4G]
 
 
 def enabled() -> bool:
@@ -78,6 +79,16 @@ def _kernel(x_ref, w_ref, s_ref, n_ref, cos_ref, sin_ref,
         acc = jnp.dot(x, wv.astype(x.dtype),
                       preferred_element_type=jnp.float32)
         y = acc * s_ref[:].astype(jnp.float32)
+    elif mode == "int4i":
+        w4 = pltpu.bitcast(wv, jnp.int4)              # (K, bc)
+        acc = jnp.dot(x, w4.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        y = acc * s_ref[:].astype(jnp.float32)
+    elif mode == "int4ig":
+        w4 = pltpu.bitcast(wv, jnp.int4)
+        w = _scale_rows(w4.astype(jnp.float32),
+                        s_ref[:].astype(jnp.float32), group).astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     elif mode == "int4":
         lo, hi = _unpack4(wv, x.dtype)                # (K/2, bc) each
         k2 = lo.shape[0]
@@ -128,7 +139,8 @@ def can_fuse(w, x: jax.Array, n_head: int, n_groups: int,
     """Eligibility: quantized weight, single-token rows, chunk layout in
     which every chunk holds whole heads of exactly one stream."""
     if not isinstance(w, (QuantizedLinear, QuantizedLinear4,
-                          QuantizedLinear4G)):
+                          QuantizedLinear4G, QuantizedLinearI4,
+                          QuantizedLinearI4G)):
         return False
     if x.ndim != 2 or x.shape[0] > 128:
         return False
@@ -150,6 +162,9 @@ def can_fuse(w, x: jax.Array, n_head: int, n_groups: int,
     if isinstance(w, QuantizedLinear4G):
         group = k // w.scale.shape[-2]
         if (k // 2) % group:
+            return False
+    if isinstance(w, QuantizedLinearI4G):
+        if k % w.scale.shape[-2]:
             return False
     return True
 
@@ -176,7 +191,17 @@ def qkv_rope_step(
     kv_cols = n_groups * hd
     q_chunks, k_chunks, v_chunks = q_cols // bc, kv_cols // bc, kv_cols // bc
 
-    if isinstance(w, QuantizedLinear4G):
+    if isinstance(w, QuantizedLinearI4G):
+        mode = "int4ig"
+        group = k // w.scale.shape[-2]
+        kw = k // 2
+        s = w.scale
+        s_rows = s.shape[0]
+    elif isinstance(w, QuantizedLinearI4):
+        mode, group, kw = "int4i", 0, k // 2
+        s = w.scale.reshape(1, n)
+        s_rows = 1
+    elif isinstance(w, QuantizedLinear4G):
         mode = "int4g"
         group = k // w.scale.shape[-2]
         kw = k // 2

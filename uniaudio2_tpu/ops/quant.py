@@ -251,11 +251,14 @@ def chunk_major(w, bc: int = SERVING_CHUNK):
     ``(N/bc, K*, bc)`` makes every block fetch ONE contiguous range.
 
     Applies to `QuantizedLinear` / `QuantizedLinear4` / `QuantizedLinear4G`
-    (row-chunkable output axis). No-op when N doesn't divide by ``bc`` or
-    the leaf is already chunk-major. Column-packed down-projections
-    (`QuantizedLinearC4*`) are already fetched full-width-contiguous."""
+    and the row-interleaved `QuantizedLinearI4`/`I4G` (row-chunkable output
+    axis). No-op when N doesn't divide by ``bc`` or the leaf is already
+    chunk-major. Column-packed down-projections (`QuantizedLinearC4*`) and
+    interleaved down-projections (row-chunked along the contraction axis at
+    full width) are already fetched contiguous."""
     if not isinstance(w, (QuantizedLinear, QuantizedLinear4,
-                          QuantizedLinear4G)):
+                          QuantizedLinear4G, QuantizedLinearI4,
+                          QuantizedLinearI4G)):
         return w
     v = w.values
     if v.ndim != 2 or v.shape[-1] % bc or v.shape[-1] == bc:
@@ -278,7 +281,8 @@ def is_chunk_major(w) -> bool:
     stacking adds a leading axis to values AND scale together, chunking
     adds one to values only."""
     d = w.values.ndim - w.scale.ndim
-    return d == 1 if isinstance(w, (QuantizedLinear4G, QuantizedLinearC4G)) \
+    return d == 1 if isinstance(w, (QuantizedLinear4G, QuantizedLinearC4G,
+                                    QuantizedLinearI4G)) \
         else d == 2
 
 
@@ -286,6 +290,12 @@ def _unpack4(v: jax.Array, dtype):
     """(..., K/2, N) packed int8 -> (lo, hi) halves in ``dtype``.
     Shifts run in int32 — Mosaic does not legalize int8 vector shifts
     (arith.shli on vector<i8>)."""
+    import os
+    if os.environ.get("UA2_PROBE_NOUNPACK"):
+        # PERF PROBE ONLY (wrong numerics): skip the nibble shift chain to
+        # measure how much of the kernel time is VPU unpack compute vs DMA.
+        w = v.astype(dtype)
+        return w, w
     v32 = v.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(v32, 28), 28)  # sign-extend low nibble
     hi = jnp.right_shift(v32, 4)  # arithmetic: byte sign covers the high one
@@ -306,6 +316,105 @@ def dequantize4_cols(w: QuantizedLinearC4, dtype=jnp.bfloat16) -> jax.Array:
     lo, hi = _unpack4(w.values, jnp.float32)
     full = jnp.concatenate([lo[..., :nh], hi[..., : n - nh]], axis=-1)
     return (full * w.scale[..., None, :]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Row-interleaved int4 (serving layout for the bitcast kernel path)
+# ---------------------------------------------------------------------------
+
+
+class QuantizedLinearI4(NamedTuple):
+    """Row-interleaved packed int4: byte [r, c] holds weight row ``2r`` in
+    its LOW nibble and row ``2r+1`` in its HIGH nibble — exactly the element
+    order of ``pltpu.bitcast(int8 -> int4)``, so a kernel reconstructs the
+    (K, N) int4 tile with one register bitcast + the hardware sub-byte
+    sign-extend instead of the int32 shift chain (`_unpack4`), which
+    measured ~1.0 ms/frame of unhidden VPU time at the r3 serving config
+    (docs/profile_decode_r3.md; probe: scripts/int4_native_probe.py).
+
+    Serving-only layout, produced by `to_interleaved` in
+    `prepare_serving_params`; checkpoints/training keep the K-split /
+    column-packed forms (this one is strictly a kernel-side re-layout of the
+    SAME quantized values + scales). It replaces both `QuantizedLinear4`
+    (K-split) and `QuantizedLinearC4` (column-packed) in the serving path:
+    the contraction axis stays chunkable in original row order (chunk c of
+    K covers byte rows [c*bc/2, (c+1)*bc/2)) and the output axis is
+    true-width chunkable like int8."""
+
+    values: jax.Array   # int8, (K//2, N_padded) or chunk-major (C, K//2, bc)
+    scale: jax.Array    # f32,  (N,)
+
+
+class QuantizedLinearI4G(NamedTuple):
+    """`QuantizedLinearI4` with group-wise scales (``scale`` (G, N); K-axis
+    groups of ``K/G`` rows, exactly as `QuantizedLinear4G`)."""
+
+    values: jax.Array   # int8, (K//2, N_padded) or chunk-major (C, K//2, bc)
+    scale: jax.Array    # f32,  (G, N)
+
+
+def _interleave_rows(full: jax.Array) -> jax.Array:
+    """(..., K, N) int32 nibble values in [-8, 7] -> (..., K/2, N) int8
+    bytes in `pltpu.bitcast(int8 -> int4)` element order (even row in the
+    low nibble, odd row in the high one)."""
+    even = full[..., 0::2, :]
+    odd = full[..., 1::2, :]
+    return jnp.bitwise_or(
+        jnp.bitwise_and(even, 15), jnp.left_shift(odd, 4)
+    ).astype(jnp.int8)
+
+
+def to_interleaved(w):
+    """Serving re-layout: K-split / column-packed int4 -> row-interleaved.
+    Same quantized values and scales, different byte order; no-op for
+    non-int4 leaves, chunk-major or layer-stacked values (convert before
+    `chunk_major`, after `unstack_layers`)."""
+    if isinstance(w, (QuantizedLinear4, QuantizedLinear4G)):
+        if w.values.ndim != 2:
+            return w
+        lo, hi = _unpack4(w.values, jnp.int32)         # rows [0,K/2), [K/2,K)
+        full = jnp.concatenate([lo, hi], axis=-2)      # (K, N_padded)
+        cls = (QuantizedLinearI4G if isinstance(w, QuantizedLinear4G)
+               else QuantizedLinearI4)
+        return cls(_interleave_rows(full), w.scale)
+    if isinstance(w, (QuantizedLinearC4, QuantizedLinearC4G)):
+        if w.values.ndim != 2:
+            return w
+        n = w.scale.shape[-1]
+        nh = n // 2
+        lo, hi = _unpack4(w.values, jnp.int32)         # cols [0,nh), [nh,n)
+        full = jnp.concatenate([lo[..., :nh], hi[..., : n - nh]], axis=-1)
+        align = 512 if n >= 512 else 128
+        if n % align:
+            full = jnp.pad(full, ((0, 0), (0, align - n % align)))
+        cls = (QuantizedLinearI4G if isinstance(w, QuantizedLinearC4G)
+               else QuantizedLinearI4)
+        return cls(_interleave_rows(full), w.scale)
+    return w
+
+
+def dequantize4_interleaved(w: QuantizedLinearI4,
+                            dtype=jnp.bfloat16) -> jax.Array:
+    n = w.scale.shape[-1]
+    v = _unchunk_values(w.values) if is_chunk_major(w) else w.values
+    lo, hi = _unpack4(v[..., :n], jnp.float32)         # even / odd rows
+    k2 = lo.shape[-2]
+    full = jnp.stack([lo, hi], axis=-2)                # (..., K/2, 2, N)
+    full = full.reshape(*lo.shape[:-2], 2 * k2, n)
+    return (full * w.scale[..., None, :]).astype(dtype)
+
+
+def dequantize4_interleaved_grouped(w: QuantizedLinearI4G,
+                                    dtype=jnp.bfloat16) -> jax.Array:
+    g, n = w.scale.shape[-2:]
+    v = _unchunk_values(w.values) if is_chunk_major(w) else w.values
+    lo, hi = _unpack4(v[..., :n], jnp.float32)
+    k2 = lo.shape[-2]
+    full = jnp.stack([lo, hi], axis=-2).reshape(*lo.shape[:-2], 2 * k2, n)
+    group = 2 * k2 // g
+    lead = full.shape[:-2]
+    full = full.reshape(*lead, g, group, n) * w.scale[..., :, None, :]
+    return full.reshape(*lead, 2 * k2, n).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -781,6 +890,128 @@ def _pallas_int4cg_matmul(
         [out[0, :m, :nh], out[1, :m, : n - nh]], axis=-1)
 
 
+def _int4i_matmul_kernel(x_ref, w_ref, s_ref, *rest, group: int = 0,
+                         norm_eps: float = 1e-5, has_norm: bool = False,
+                         has_res: bool = False):
+    """Row-interleaved int4 GEMV: ONE `pltpu.bitcast` reconstructs the
+    (K, Nt) int4 tile (hardware sub-byte order), the convert sign-extends
+    on the VPU's native unpack path, and the contraction is a single MXU
+    dot — no shift chain, no K-half split."""
+    rest = list(rest)
+    n_ref = rest.pop(0) if has_norm else None
+    r_ref = rest.pop(0) if has_res else None
+    o_ref = rest[0]
+    x = _maybe_norm(x_ref[:], n_ref, norm_eps)        # (Mt, K) bf16
+    wv = w_ref[:]
+    if wv.ndim == 3:                                  # chunk-major
+        wv = wv[0]
+    w4 = pltpu.bitcast(wv, jnp.int4)                  # (K, Nt)
+    if group:
+        w = _scale_rows(w4.astype(jnp.float32),
+                        s_ref[:].astype(jnp.float32), group).astype(x.dtype)
+        acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.dot(x, w4.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        acc = acc * s_ref[:].astype(jnp.float32)
+    if has_res:
+        acc += r_ref[:].astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _pallas_int4i_matmul(
+    x: jax.Array, values: jax.Array, scale: jax.Array,
+    *, block_n: Optional[int] = None, block_m: int = 128, out_dtype=None,
+    pre_norm=None, residual=None,
+) -> jax.Array:
+    """x (M, K) bf16 @ row-interleaved int4 (K/2, N) * scale ((N,) or
+    grouped (G, N)) -> (M, N). Tiling as the int8 kernel; chunk-major (3-D)
+    values force the stored chunk width (contiguous block DMA)."""
+    m, k = x.shape
+    grouped = scale.ndim == 2
+    if values.ndim == 3:
+        cnum, k2, bc = values.shape
+        n = cnum * bc
+    else:
+        k2, n = values.shape
+        bc = None
+    assert k == 2 * k2
+    if grouped:
+        g, n_orig = scale.shape
+        group = k // g
+        if n_orig != n:
+            scale = jnp.pad(scale, ((0, 0), (0, n - n_orig)),
+                            constant_values=1.0)
+        s_rows = g
+    else:
+        group = 0
+        n_orig = scale.shape[-1]
+        if n_orig != n:
+            scale = jnp.pad(scale, ((0, n - n_orig),), constant_values=1.0)
+        scale = scale.reshape(1, n)
+        s_rows = 1
+    if bc is not None:
+        bn = bc
+    else:
+        if block_n is None:
+            block_n = 512
+        # the in-kernel convert materialises one (K, bn) bf16 tile (f32
+        # when grouped) — half the transient footprint of the shift-chain
+        # kernels' int32 + lo/hi copies
+        per = 4 if grouped else 2
+        while block_n > 128 and per * k * block_n > 4 * 2 ** 20:
+            block_n //= 2
+        block_n = 1 << (block_n.bit_length() - 1)
+        bn = min(block_n, n)
+        while n % bn and bn > 128:
+            bn //= 2
+    if m <= block_m:
+        bm, mg = m, 1
+    else:
+        bm = block_m
+        mg = -(-m // bm)
+        if m % bm:
+            x = jnp.pad(x, ((0, mg * bm - m), (0, 0)))
+    grid = (mg, n // bn)
+    wspec = (pl.BlockSpec((1, k2, bn), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM) if bc is not None else
+             pl.BlockSpec((k2, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        wspec,
+        pl.BlockSpec((s_rows, bn), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, values, scale]
+    eps = 1e-5
+    if pre_norm is not None:
+        nw, eps = pre_norm
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(nw.reshape(1, k))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_res(residual, mg * bm, n))
+    out = pl.pallas_call(
+        functools.partial(_int4i_matmul_kernel, group=group, norm_eps=eps,
+                          has_norm=pre_norm is not None,
+                          has_res=residual is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mg * bm, n), out_dtype or x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n, bytes_accessed=k2 * n + m * k * 2 + m * n * 2,
+            transcendentals=0,
+        ),
+    )(*operands)
+    return out[:m, :n_orig]
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu" or any(
         d.platform == "tpu" for d in jax.devices()
@@ -818,6 +1049,27 @@ def matmul(
     def _res2(n):
         return residual.reshape(-1, n) if residual is not None else None
 
+    if isinstance(w, (QuantizedLinearI4, QuantizedLinearI4G)):
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        x2 = x.reshape(-1, k)
+        grouped = isinstance(w, QuantizedLinearI4G)
+        if _use_pallas() and k % 256 == 0 \
+                and (not grouped or k % w.scale.shape[-2] == 0):
+            out = _pallas_int4i_matmul(x2, w.values, w.scale,
+                                       out_dtype=out_dtype, pre_norm=pre_norm,
+                                       residual=_res2(w.scale.shape[-1]))
+        else:
+            wd = (dequantize4_interleaved_grouped(w, x.dtype) if grouped
+                  else dequantize4_interleaved(w, x.dtype))
+            out = jnp.einsum(
+                "mk,kn->mn", _normed(x2), wd,
+                preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            if residual is not None:
+                out = out + _res2(out.shape[-1]).astype(out.dtype)
+        out = out.reshape(*lead, -1)
+        return out.astype(out_dtype) if out_dtype else out
     if isinstance(w, QuantizedLinear4):
         lead = x.shape[:-1]
         k = x.shape[-1]
