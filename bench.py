@@ -37,6 +37,8 @@ Measured batch-1 on one v5e-class chip:
     int4all      1243.6            r3 + norm/residual kernel folds
     int4all      1285.9            r3 + chunk-major weight layout
     int4all      1330.2            r3 + approx top-k default
+    int4all      1368.2            r3 + fused QKV step kernel
+    int4all      1425.2            r3 + row-interleaved int4 (bitcast unpack)
 
 int4all is the max-throughput serving point (per-output-channel int4 on
 every matrix — the aggressive end of the quality/throughput knob; int8 is

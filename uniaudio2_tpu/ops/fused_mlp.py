@@ -114,7 +114,7 @@ def _kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     if interleaved and w3_int4:
         w4 = pltpu.bitcast(w3_ref[:], jnp.int4)     # (bc, N)
         if w3_group:
-            s3 = s3_ref[:].astype(jnp.float32)      # (bc/group, N)
+            s3 = s3_ref[0].astype(jnp.float32)      # (1, bc/group, N) block
             w3w = _scale_rows(w4.astype(jnp.float32), s3,
                               w3_group).astype(x.dtype)
         else:
@@ -321,8 +321,13 @@ def fused_swiglu(
     s1_in = s1 if w12_group else s1.reshape(1, -1)
     s2_in = s2 if w12_group else s2.reshape(1, -1)
     if w3_grouped and w3_i:
-        s3_spec = pl.BlockSpec((bc // w3_group, n_stored),
-                               lambda c: (c, 0), memory_space=pltpu.VMEM)
+        # leading grid axis: a 2-D (bc/group, N) block would violate
+        # Mosaic's 8-row block rule (bc/group is 4 at the serving config);
+        # (1, bc/group, N) blocks of the 3-D reshape have their last two
+        # dims equal to the array's, which Mosaic accepts
+        s3 = s3.reshape(i_true // bc, bc // w3_group, n_stored)
+        s3_spec = pl.BlockSpec((1, bc // w3_group, n_stored),
+                               lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
     elif w3_grouped:
         s3_spec = pl.BlockSpec((bc // w3_group, 2, n_stored),
                                lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
