@@ -237,7 +237,17 @@ def fused_swiglu(
     ``norm_w`` folds a leading RMSNorm (``x`` is then the UN-normed layer
     activation); ``residual`` (same shape as the output) folds the layer's
     residual add — together one kernel computes the whole transformer MLP
-    block ``x + swiglu(rmsnorm(x))``."""
+    block ``x + swiglu(rmsnorm(x))``.
+
+    Serving layouts (chunk-major int8 / row-interleaved int4) route to the
+    manually DMA-pipelined variant (`ops/fused_mlp_dma.py`) unless
+    ``UA2_MLP_DMA=0``."""
+    from uniaudio2_tpu.ops import fused_mlp_dma
+
+    if fused_mlp_dma.enabled() and fused_mlp_dma.can_fuse_dma(w1, w2, w3, x):
+        return fused_mlp_dma.fused_swiglu_dma(
+            x, w1, w2, w3, norm_w=norm_w, norm_eps=norm_eps,
+            residual=residual)
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
