@@ -99,7 +99,7 @@ def main():
         params = quantize_unified_params(params, donate=True,
                                          int4_modules=int4,
                                          grouped=quant_mode.endswith("g"))
-        params = unified.prepare_serving_params(params)
+        params = unified.prepare_serving_params(params, cfg=cfg)
     # max_frames bounds the compiled loop; EOS never fires on random weights
     # only by chance, so force a fixed-length run via the frame cap.
     engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,),

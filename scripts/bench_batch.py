@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -36,7 +39,7 @@ def main():
             "int4": ("decoder", "audio_head", "projection_w"),
         }.get(qmode, ())
         params = quantize_unified_params(params, donate=True, int4_modules=int4)
-        params = unified.prepare_serving_params(params)
+        params = unified.prepare_serving_params(params, cfg=cfg)
     engine = DecodeEngine(params, cfg, max_frames=FRAMES, buckets=(64,))
 
     items = []

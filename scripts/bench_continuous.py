@@ -51,7 +51,7 @@ def main():
                 "generation_expert", "audio_head", "projection_w")
         params = quant.quantize_unified_params(params, donate=True,
                                                int4_modules=int4)
-        params = unified.prepare_serving_params(params)
+        params = unified.prepare_serving_params(params, cfg=cfg)
 
     ts = cfg.tokens
     rng = np.random.default_rng(0)

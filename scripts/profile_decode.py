@@ -9,6 +9,11 @@ Times (single large runs — TPU timing noise ±5%, see CLAUDE.md):
 Usage: python scripts/profile_decode.py  (runs on the axon TPU)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from __future__ import annotations
 
 import json
@@ -51,7 +56,7 @@ def main():
     params = quant.quantize_unified_params(params, donate=True,
                                            int4_modules=int4)
     if qmode != "0":
-        params = unified.prepare_serving_params(params)
+        params = unified.prepare_serving_params(params, cfg=cfg)
 
     # ---- 1. full frame loop (bench path) ----
     engine = DecodeEngine(params, cfg, max_frames=FRAMES, buckets=(64,))

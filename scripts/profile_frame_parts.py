@@ -56,7 +56,7 @@ def main():
     params = quant.quantize_unified_params(
         params, donate=True, int4_modules=int4,
         grouped=qmode.endswith("g"))
-    params = unified.prepare_serving_params(params)
+    params = unified.prepare_serving_params(params, cfg=cfg)
 
     caches0 = unified.init_caches(cfg, 1, dtype=jnp.bfloat16, seq_len=CACHE_LEN)
 

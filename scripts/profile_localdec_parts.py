@@ -48,7 +48,7 @@ def main():
             "generation_expert", "audio_head", "projection_w")
     params = quant.quantize_unified_params(
         params, donate=True, int4_modules=int4, grouped=qmode.endswith("g"))
-    params = unified.prepare_serving_params(params)
+    params = unified.prepare_serving_params(params, cfg=cfg)
 
     def make_loop(topk):
         @jax.jit

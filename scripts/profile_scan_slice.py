@@ -11,6 +11,11 @@ Three forms of a 28-layer serial int4 GEMV chain at the backbone MLP shape:
 Prints GB/s of true weight bytes per variant.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from __future__ import annotations
 
 import functools

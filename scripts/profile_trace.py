@@ -53,7 +53,7 @@ def main():
         int4 = ()
     params = quant.quantize_unified_params(
         params, donate=True, int4_modules=int4, grouped=qmode.endswith("g"))
-    params = unified.prepare_serving_params(params)
+    params = unified.prepare_serving_params(params, cfg=cfg)
     engine = DecodeEngine(params, cfg, max_frames=FRAMES, buckets=(64,),
                           approx_topk=os.environ.get("UA2_BENCH_APPROX", "1") != "0")
 

@@ -143,7 +143,7 @@ def greedy_divergence(scale: str, frames: int):
     ]:
         qp = quantize_unified_params(
             jax.tree_util.tree_map(lambda a: a, params), **kwargs)
-        qp = unified.prepare_serving_params(qp)
+        qp = unified.prepare_serving_params(qp, cfg=cfg)
         got = run(qp)
         tmin = min(ref.shape[1], got.shape[1])
         same = (ref[:, :tmin] == got[:, :tmin])

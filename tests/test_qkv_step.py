@@ -58,7 +58,11 @@ def test_qkv_step_matches_composed(mode, chunked, batch):
     keys = jax.random.split(jax.random.PRNGKey(hash(mode) % 1000), 4)
     wq, wd = _mk(mode, keys[0])
     if chunked:
-        wq = chunk_major(wq)
+        # explicit width: the tiny geometry's kv streams (512 cols) are
+        # narrower than the serving default chunk (1024); production
+        # eligibility at the default is covered by
+        # test_serving_shapes_fusable_at_default_chunk
+        wq = chunk_major(wq, 512)
     x = jax.random.normal(keys[1], (batch, K), jnp.float32) * 0.3
     norm_w = 1.0 + 0.1 * jax.random.normal(keys[2], (K,), jnp.float32)
     cos_t, sin_t = rope_cache(16, HD)
@@ -136,3 +140,37 @@ def test_decode_step_uses_fused_kernel(monkeypatch):
     np.testing.assert_allclose(np.asarray(cache_fused.k),
                                np.asarray(cache_ref.k),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_serving_shapes_fusable_at_default_chunk():
+    """The real serving shapes must stay eligible for the fused QKV and
+    fused SwiGLU kernels at the DEFAULT serving chunk width (regression
+    guard for SERVING_CHUNK changes; the tiny test geometries above are
+    narrower than the default and use explicit widths)."""
+    from types import SimpleNamespace
+
+    from uniaudio2_tpu.models.unified import _qkv_chunk_width
+    from uniaudio2_tpu.ops import fused_mlp
+    from uniaudio2_tpu.ops.quant import SERVING_CHUNK, quantize4_cols
+
+    key = jax.random.PRNGKey(0)
+    # (shape, expected serving qkv chunk): the backbone takes the full
+    # default; the local decoder's 512-wide kv streams cap it at 512
+    for (k_dim, h, g, hd), want_bc in (((3072, 24, 8, 128), 1024),
+                                       ((2048, 32, 8, 64), 512)):
+        gcfg = SimpleNamespace(n_head=h, n_query_groups=g, head_size=hd)
+        bc = _qkv_chunk_width(gcfg, SERVING_CHUNK)
+        assert bc == min(want_bc, SERVING_CHUNK), (k_dim, bc)
+        n = (h + 2 * g) * hd
+        w = jax.random.normal(key, (k_dim, n), jnp.float32) * 0.02
+        wq = chunk_major(to_interleaved(quantize4(w)), bc)
+        x = jnp.zeros((1, k_dim), jnp.bfloat16)
+        assert qkv_step.can_fuse(wq, x, h, g, hd), (k_dim, "qkv")
+    for k_dim, i_dim in ((3072, 8192), (2048, 8192)):
+        w12 = jax.random.normal(key, (k_dim, i_dim), jnp.float32) * 0.02
+        w3 = jax.random.normal(key, (i_dim, k_dim), jnp.float32) * 0.02
+        q1 = chunk_major(to_interleaved(quantize4(w12)))
+        q2 = chunk_major(to_interleaved(quantize4(w12)))
+        q3 = to_interleaved(quantize4_cols(w3))
+        x = jnp.zeros((1, k_dim), jnp.bfloat16)
+        assert fused_mlp.can_fuse(q1, q2, q3, x), (k_dim, "mlp")

@@ -650,3 +650,42 @@ def test_prepare_serving_int4i_decode():
             os.environ.pop("UA2_INT4I", None)
     np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
     np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+
+
+def test_chunk_major_pads_indivisible_width():
+    """`chunk_major` zero-pads a stored width that doesn't divide the chunk
+    width instead of silently no-opping (the quantizers 512-align storage,
+    so this exercises non-default bc). Scales keep true width; dequant +
+    kernels trim."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    w = jax.random.normal(jax.random.PRNGKey(60), (256, 600)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(61), (2, 256), jnp.float32)
+
+    # int8: quantize 512-aligns storage to 1024; chunk at 384 -> pad to 1152
+    q8 = quant.quantize(w)
+    assert q8.values.shape == (256, 1024)
+    c8 = quant.chunk_major(q8, 384)
+    assert c8.values.shape == (3, 256, 384) and c8.scale.shape == (600,)
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize(c8, jnp.float32)),
+        np.asarray(quant.dequantize(q8, jnp.float32)))
+    ref = np.asarray(x) @ np.asarray(quant.dequantize(q8, jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        out = quant._pallas_int8_matmul(x, c8.values, c8.scale)
+    assert out.shape == (2, 600)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-3)
+
+    # row-interleaved int4 (the audio_head serving format, non-default bc)
+    qi = quant.to_interleaved(quant.quantize4(w))
+    ci = quant.chunk_major(qi, 384)
+    assert ci.values.shape == (3, 128, 384)
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize4_interleaved(ci, jnp.float32)),
+        np.asarray(quant.dequantize4_interleaved(qi, jnp.float32)))
+    refi = np.asarray(x) @ np.asarray(
+        quant.dequantize4_interleaved(qi, jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        outi = quant._pallas_int4i_matmul(x, ci.values, ci.scale)
+    assert outi.shape == (2, 600)
+    np.testing.assert_allclose(np.asarray(outi), refi, rtol=1e-2, atol=1e-3)

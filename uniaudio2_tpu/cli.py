@@ -191,7 +191,7 @@ def build_runner(args) -> TaskRunner:
         params = quantize_unified_params(
             params, donate=True, int4_modules=int4,
             grouped=args.quantize == "int4allg")
-        params = prepare_serving_params(params)
+        params = prepare_serving_params(params, cfg=cfg)
     tok = TextTokenizer(args.text_tokenizer_path)
     engine = DecodeEngine(
         params, cfg, max_frames=args.max_frames,

@@ -206,7 +206,7 @@ def main(argv=None):
         params = quantize_unified_params(
             params, donate=True, int4_modules=int4,
             grouped=args.quantize.endswith("g"))
-        params = unified.prepare_serving_params(params)
+        params = unified.prepare_serving_params(params, cfg=cfg)
     engine = DecodeEngine(params, cfg, max_frames=args.max_frames)
     srv = InferenceHTTPServer(
         engine, args.host, args.port,

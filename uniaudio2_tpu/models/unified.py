@@ -95,8 +95,24 @@ def init_caches(
     )
 
 
+def _qkv_chunk_width(gcfg, cap: int) -> "int | None":
+    """Largest chunk width <= ``cap`` under the fused QKV kernel's
+    eligibility rules (`ops/qkv_step.can_fuse`): every chunk must hold
+    whole heads of exactly ONE of the q/k/v streams, so the width must
+    divide both the q block (H*hd) and the k/v blocks (G*hd). E.g. the
+    local decoder's 512-wide kv streams cap its qkv at 512 even when
+    SERVING_CHUNK is 1024."""
+    import math
+
+    q_cols = gcfg.n_head * gcfg.head_size
+    kv_cols = gcfg.n_query_groups * gcfg.head_size
+    bc = math.gcd(math.gcd(q_cols, kv_cols), cap)
+    return bc if bc >= 128 and bc % gcfg.head_size == 0 else None
+
+
 def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
-                           unroll: bool = True) -> Params:
+                           unroll: bool = True,
+                           cfg: "object | None" = None) -> Params:
     """Serving-time layout transforms (decode-throughput; semantics
     unchanged):
 
@@ -176,17 +192,32 @@ def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
     if os.environ.get("UA2_CHUNK_MAJOR", "1") != "0" and unroll:
         from uniaudio2_tpu.ops.quant import chunk_major
 
+        from uniaudio2_tpu.ops.quant import SERVING_CHUNK
+
         # output-axis-chunked kernel operands only; mlp_proj_w stays
         # row-chunked (the fused kernel's W3 blocks are full-width
-        # contiguous already) and stacked training layers are untouched
+        # contiguous already) and stacked training layers are untouched.
+        # fc1/fc2 may take a wider chunk than the rest (UA2_MLP_CHUNK —
+        # the fused SwiGLU kernel raises its scoped-VMEM limit to match);
+        # qkv_w takes the widest stream-aligned width when ``cfg`` is
+        # given, else a conservative 512 (the fused QKV gate needs whole
+        # streams per chunk — `_qkv_chunk_width`).
+        mlp_bc = os.environ.get("UA2_MLP_CHUNK")
+        base = {"fc1_w": int(mlp_bc), "fc2_w": int(mlp_bc)} if mlp_bc \
+            else {}
         chunked = ("qkv_w", "attn_proj_w", "fc1_w", "fc2_w", "lm_head_w")
         for sub in ("backbone", "decoder", "understanding_expert",
                     "generation_expert"):
+            widths = dict(base)
+            gcfg = getattr(cfg, sub, None)
+            widths["qkv_w"] = (_qkv_chunk_width(gcfg, SERVING_CHUNK)
+                               if gcfg is not None
+                               else min(SERVING_CHUNK, 512))
             gp = dict(out[sub])
             if "lm_head_w" in gp:
                 gp["lm_head_w"] = chunk_major(gp["lm_head_w"])
             gp["layers"] = [
-                {k: (chunk_major(v) if k in chunked else v)
+                {k: (chunk_major(v, widths.get(k)) if k in chunked else v)
                  for k, v in layer.items()}
                 for layer in gp["layers"]
             ]

@@ -239,15 +239,12 @@ def fused_swiglu(
     residual add — together one kernel computes the whole transformer MLP
     block ``x + swiglu(rmsnorm(x))``.
 
-    Serving layouts (chunk-major int8 / row-interleaved int4) route to the
-    manually DMA-pipelined variant (`ops/fused_mlp_dma.py`) unless
-    ``UA2_MLP_DMA=0``."""
-    from uniaudio2_tpu.ops import fused_mlp_dma
-
-    if fused_mlp_dma.enabled() and fused_mlp_dma.can_fuse_dma(w1, w2, w3, x):
-        return fused_mlp_dma.fused_swiglu_dma(
-            x, w1, w2, w3, norm_w=norm_w, norm_eps=norm_eps,
-            residual=residual)
+    (A manually DMA-pipelined variant — weights in `pl.ANY`, unrolled chunk
+    loop, triple-buffered `make_async_copy` streaming — was tried and
+    REMOVED in r3: it measured 13-300x SLOWER than this grid-pipelined form
+    on v5e (2.5 ms vs 56 us per backbone MLP; hand-issued HBM->VMEM copies
+    do not reach the implicit pipeline's descriptor efficiency). Negative
+    result recorded in docs/profile_decode_r3.md.)"""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
@@ -375,6 +372,15 @@ def fused_swiglu(
         in_specs.append(pl.BlockSpec((m, n_true), lambda c: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(residual.reshape(m, n_true))
+    # double-buffered weight blocks per grid step; when a wide chunk pushes
+    # past Mosaic's 16 MB default scoped-VMEM limit (e.g. UA2_MLP_CHUNK=2048
+    # at the backbone shape), raise the per-kernel limit to fit (physical
+    # VMEM is 128 MB; the default is a conservative assertion, and the
+    # failure mode is a clean AOT error, not a miscompile)
+    step_bytes = 2 * (2 * kw * bc + (bc // 2 if w3_i else bc) * n_stored)
+    params = (pltpu.CompilerParams(
+        vmem_limit_bytes=int(step_bytes * 2.5) + 8 * 2 ** 20)
+        if step_bytes > 14 * 2 ** 20 else None)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -388,6 +394,7 @@ def fused_swiglu(
             bytes_accessed=2 * kw * i_true + i_true * n_stored,
             transcendentals=m * i_true,
         ),
+        **({"compiler_params": params} if params else {}),
     )(*operands)
 
     if w3_int4 and not interleaved:

@@ -18,6 +18,7 @@ API:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
@@ -237,10 +238,19 @@ def dequantize4_cols_grouped(w: QuantizedLinearC4G,
     return full.reshape(*lead, k, n).astype(dtype)
 
 
-SERVING_CHUNK = 512  # kernel tile width; chunk-major layout bakes it in
+# Kernel tile width; the chunk-major layout bakes it in. Overridable via
+# UA2_SERVING_CHUNK: with chunk-major storage every block fetch is one
+# contiguous DMA regardless of width, so wider chunks trade VMEM for fewer
+# grid steps (the ~0.5 us/step sequencing gap is most of the distance from
+# the HBM roofline — docs/profile_decode_r3.md). 1024 measured 1425 -> 1465
+# tok/s batch-1 int4all on v5e; 2048 exceeds the 16 MB scoped-VMEM limit
+# at the backbone MLP shape (clean AOT compile error). The 512-is-best
+# sweep that previously fixed this number predates chunk-major storage
+# (burst length was tied to tile width then; it no longer is).
+SERVING_CHUNK = int(os.environ.get("UA2_SERVING_CHUNK", "1024"))
 
 
-def chunk_major(w, bc: int = SERVING_CHUNK):
+def chunk_major(w, bc: "int | None" = None):
     """Serving-time re-layout for contiguous weight DMA.
 
     The matmul kernels tile the output axis in ``bc``-wide blocks; with
@@ -252,17 +262,33 @@ def chunk_major(w, bc: int = SERVING_CHUNK):
 
     Applies to `QuantizedLinear` / `QuantizedLinear4` / `QuantizedLinear4G`
     and the row-interleaved `QuantizedLinearI4`/`I4G` (row-chunkable output
-    axis). No-op when N doesn't divide by ``bc`` or the leaf is already
-    chunk-major. Column-packed down-projections (`QuantizedLinearC4*`) and
-    interleaved down-projections (row-chunked along the contraction axis at
-    full width) are already fetched contiguous."""
+    axis). Stored widths that don't divide by ``bc`` are zero-padded up to
+    the next multiple first (scales keep true width; every kernel/dequant
+    path already trims by scale width) — the quantizers 512-align storage
+    so this is a robustness path for non-default chunk widths, not a
+    serving-shape requirement. No-op when the leaf is already chunk-major
+    or N <= ``bc``. Column-packed
+    down-projections (`QuantizedLinearC4*`) and interleaved down-projections
+    (row-chunked along the contraction axis at full width) are already
+    fetched contiguous."""
     if not isinstance(w, (QuantizedLinear, QuantizedLinear4,
                           QuantizedLinear4G, QuantizedLinearI4,
                           QuantizedLinearI4G)):
         return w
+    if bc is None:
+        bc = SERVING_CHUNK
+        if not isinstance(w, (QuantizedLinearI4, QuantizedLinearI4G)):
+            # int8 blocks are 2x the bytes of int4 at the same width, and
+            # the legacy shift-chain int4 kernels materialise lo/hi
+            # transients; cap both so double-buffered tiles stay in the
+            # 16 MB scoped-VMEM budget (only the one-bitcast interleaved
+            # kernels are validated at 1024 — scripts/tpu_int4i_smoke.py)
+            bc = min(bc, 512)
     v = w.values
-    if v.ndim != 2 or v.shape[-1] % bc or v.shape[-1] == bc:
+    if v.ndim != 2 or v.shape[-1] <= bc:
         return w
+    if v.shape[-1] % bc:
+        v = jnp.pad(v, ((0, 0), (0, bc - v.shape[-1] % bc)))
     k_, n = v.shape
     v3 = jnp.transpose(v.reshape(k_, n // bc, bc), (1, 0, 2))
     return type(w)(v3, w.scale)
