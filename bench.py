@@ -39,14 +39,18 @@ Measured batch-1 on one v5e-class chip:
     int4all      1330.2            r3 + approx top-k default
     int4all      1368.2            r3 + fused QKV step kernel
     int4all      1425.2            r3 + row-interleaved int4 (bitcast unpack)
+    int4all      1460-1470         r3 + 1024-wide serving chunks (final r3)
+    int4allg     1285.4            final r3 layout
+    int8          965.2            final r3 layout
 
 int4all is the max-throughput serving point (per-output-channel int4 on
 every matrix — the aggressive end of the quality/throughput knob; int8 is
 the conservative default for quality-critical serving; int4allg trades
 ~9% speed for +6.5 to +9.6 dB quantization SNR on heavy-tailed weights —
 docs/quant_quality_r3.md). The headline metric stays batch-1 to match the
-reference's per-utterance decode loop (the batched path reaches 7207
-tok/s at batch 8 and 11753 at batch 16, r2 layout). Per-kernel profiles:
+reference's per-utterance decode loop (the batched path reaches 8172
+tok/s at batch 8, 10756 at batch 12, 13579 at batch 16 — final r3
+layout). Per-kernel profiles:
 docs/profile_decode_r2.md, docs/profile_decode_r3.md. UA2_BENCH_TASK=asr
 measures text-mode decode frames/s instead. UA2_BENCH_SCALE=tiny runs a
 CPU-sized smoke variant. UA2_BENCH_APPROX=0 restores exact top-k.

@@ -5,15 +5,18 @@ of the unified audio LM and reports frame-positions/s, stream-tokens/s
 (x9 parallel streams), achieved model FLOP/s and MFU against the v5e-class
 bf16 peak (197 TFLOP/s).
 
-Full-scale Model_stage3 (≈4.1 B params) cannot train on ONE 16 GiB chip
-(bf16 params + fp32 AdamW moments ≈ 41 GiB), so the default measurement
-uses the largest-fitting configuration: full 3072/2048 widths and real
-expert/decoder depths with a reduced backbone depth (--backbone-layers,
-default 8 ≈ 1.5 B params ≈ 12 GiB train state with bf16 moments), batch
---batch x seq --seq, remat on (off with --no-remat), optional gradient
-accumulation. Scale-to-full is by sharding, not by chip: the full-scale
-8-device sharded step is compile-checked by
-`scripts/check_multichip_compile.py`.
+Full-scale Model_stage3 cannot train on ONE 16 GiB chip: the AdamW
+bf16 param+grad+2-moment floor (8 bytes/param) of the NON-backbone
+parameters alone (wte/lm_head/audio tables/experts/decoder ≈ 2.0 B
+params) is ≈16 G before any backbone layer or activation — measured
+17.23 G planned at 2 backbone layers / batch 1 / seq 512 at full vocab.
+The default measurement is therefore the largest-fitting honest config:
+full 3072/2048 widths, real expert/decoder depths and audio tables, text
+vocab scaled 128256→32256 (--vocab; the output JSON carries
+vocab_scaled), 2 backbone layers, batch 1 x seq 512, remat on. Scale-to-
+full is by sharding, not by chip: the full-scale 8-device sharded step is
+compile-checked by `scripts/check_multichip_compile.py`. Memory-floor
+analysis + measured table: docs/bench_train_r3.md.
 
 MFU convention: model FLOPs = 6 * N_matmul * frame_positions (fwd 2NT +
 bwd 4NT), counting matmul/embedding-free parameters only; remat's
@@ -57,12 +60,31 @@ def matmul_params(params) -> int:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--backbone-layers", type=int, default=8)
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--seq", type=int, default=1024)
+    p.add_argument("--backbone-layers", type=int, default=2)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--seq", type=int, default=512)
+    p.add_argument("--vocab", type=int, default=32256,
+                   help="padded text vocab for the bench config. The real "
+                        "128256-row wte+lm_head alone put the AdamW state+"
+                        "grad floor (8 bytes/param bf16) past one 16 GiB "
+                        "chip at ANY backbone depth (measured 17.2G at "
+                        "2L/b1/s512); audio tables stay full-size. "
+                        "Single-chip numbers are therefore vocab-scaled "
+                        "and labeled as such; AdamW-parity full-model "
+                        "training is the sharded path.")
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--optimizer", choices=("adamw", "adafactor"),
+                   default="adamw",
+                   help="adafactor (factored second moments) is the only "
+                        "optimizer whose state fits this model on ONE "
+                        "16 GiB chip: with AdamW the bf16 param+grad+"
+                        "2-moment floor of the non-backbone parameters "
+                        "alone (embedding/audio tables ~2B params) "
+                        "exceeds HBM at any backbone depth (measured: "
+                        "17.2G at 2L/b1/s512). AdamW-parity training is "
+                        "the sharded path (check_multichip_compile.py).")
     args = p.parse_args(argv)
 
     tiny = os.environ.get("UA2_BENCH_SCALE") == "tiny"
@@ -84,8 +106,9 @@ def main(argv=None):
         b, s = 2, 32
     else:
         register_config(
-            "bench-train-backbone", block_size=131072, vocab_size=128000,
-            padded_vocab_size=128256, n_layer=args.backbone_layers,
+            "bench-train-backbone", block_size=131072,
+            vocab_size=args.vocab - 256,
+            padded_vocab_size=args.vocab, n_layer=args.backbone_layers,
             n_embd=3072, n_head=24, n_query_groups=8,
             intermediate_size=8192, rope_base=500000.0,
         )
@@ -105,7 +128,7 @@ def main(argv=None):
 
     tx = trainer.make_optimizer(
         schedule.warmup_lr(1e-4, warmup_steps=2000), grad_clip=1.0,
-        accum_steps=args.accum)
+        accum_steps=args.accum, optimizer=args.optimizer)
     state = trainer.init_train_state(params, tx)
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=True,
@@ -169,6 +192,8 @@ def main(argv=None):
         "config": {
             "backbone_layers": cfg.backbone.n_layer, "batch": b, "seq": s,
             "remat": not args.no_remat, "accum": args.accum,
+            "optimizer": args.optimizer, "padded_vocab": args.vocab,
+            "vocab_scaled": args.vocab != 128256,
         },
         "loss": round(loss, 4),
         "step_ms": round(dt * 1e3, 1),

@@ -55,13 +55,30 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.95,
     accum_steps: int = 1,
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clipping (+ optional gradient accumulation),
-    matching the reference's training knobs (`arguments.py:56-68`)."""
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
-    )
+    matching the reference's training knobs (`arguments.py:56-68`).
+
+    ``optimizer="adafactor"`` swaps in factored second moments: per-param
+    optimizer state shrinks from 2 full moments to row/column statistics,
+    which is what makes SINGLE-chip training of this model fit at all —
+    with AdamW the bf16 param+grad+2-moment floor of the non-backbone
+    parameters alone (embedding/audio tables ≈ 2 B params) exceeds a
+    16 GiB chip; the sharded (FSDP) path is the AdamW-parity mode
+    (scripts/check_multichip_compile.py)."""
+    if optimizer == "adafactor":
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adafactor(schedule, decay_rate=b2,
+                            weight_decay_rate=weight_decay or None,
+                            clipping_threshold=None),
+        )
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+        )
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
