@@ -39,7 +39,9 @@ Measured batch-1 on one v5e-class chip:
     int4all      1330.2            r3 + approx top-k default
     int4all      1368.2            r3 + fused QKV step kernel
     int4all      1425.2            r3 + row-interleaved int4 (bitcast unpack)
-    int4all      1460-1470         r3 + 1024-wide serving chunks (final r3)
+    int4all      1460-1470         r3 + 1024-wide serving chunks
+    int4all      1475-1510         r3 + padding-free audio_head chunks
+                                      + rbg hardware PRNG (final r3)
     int4allg     1285.4            final r3 layout
     int8          965.2            final r3 layout
 
@@ -66,6 +68,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from uniaudio2_tpu.utils.prng import configure_serving_prng
+
+configure_serving_prng()  # rbg hardware PRNG (+1%); UA2_PRNG_IMPL overrides
 
 from uniaudio2_tpu.config import UnifiedModelConfig
 from uniaudio2_tpu.engine.decode import DecodeEngine

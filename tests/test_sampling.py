@@ -88,3 +88,38 @@ def test_sample_topk_approx_distribution():
     # greedy is unaffected by the approx flag (argmax path)
     ids = sample_topk(jax.random.PRNGKey(0), logits, 1, temp, approx=True)
     assert int(ids) == vocab - 1
+
+
+def test_sample_topk_distribution_rbg_impl():
+    """Serving entry points switch the global PRNG to the hardware `rbg`
+    generator (`utils/prng.configure_serving_prng`); the top-k Gumbel
+    sampler must stay distribution-correct under rbg keys (they are
+    (4,)-shaped raw keys — the (B, ...) per-row logic is shape-agnostic)."""
+    vocab, k, temp = 16, 4, 0.8
+    logits = jnp.asarray(np.linspace(0.0, 3.0, vocab), jnp.float32)
+    n = 4000
+    with jax.default_prng_impl("rbg"):
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        assert keys.shape == (n, 4)
+        toks = jax.vmap(
+            lambda key: sample_topk(key, logits, k, temp))(keys)
+    freq = np.bincount(np.asarray(toks), minlength=vocab) / n
+    scaled = np.asarray(logits, np.float64) / temp
+    top = np.argsort(scaled)[-k:]
+    p = np.zeros(vocab)
+    p[top] = np.exp(scaled[top] - scaled[top].max())
+    p /= p.sum()
+    assert freq[: vocab - k].sum() == 0.0
+    np.testing.assert_allclose(freq, p, atol=0.03)
+
+
+def test_configure_serving_prng_env_override(monkeypatch):
+    from uniaudio2_tpu.utils.prng import configure_serving_prng
+
+    monkeypatch.setenv("UA2_PRNG_IMPL", "threefry2x32")
+    prev = jax.config.jax_default_prng_impl
+    try:
+        assert configure_serving_prng() == "threefry2x32"
+        assert jax.random.PRNGKey(0).shape == (2,)
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)

@@ -546,6 +546,9 @@ def run_generation_streaming(args) -> str:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from uniaudio2_tpu.utils.prng import configure_serving_prng
+
+    configure_serving_prng()  # rbg hardware PRNG; UA2_PRNG_IMPL overrides
     args = get_parser().parse_args(argv)
     task = args.task.strip().lower()
     if task in UNDERSTANDING_LOWER:

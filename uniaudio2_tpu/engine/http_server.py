@@ -172,6 +172,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import yaml
 
+    from uniaudio2_tpu.utils.prng import configure_serving_prng
+
+    configure_serving_prng()  # rbg hardware PRNG; UA2_PRNG_IMPL overrides
+
     from uniaudio2_tpu.config import UnifiedModelConfig
     from uniaudio2_tpu.convert.torch_to_jax import load_npz
     from uniaudio2_tpu.engine.decode import DecodeEngine

@@ -222,7 +222,30 @@ def prepare_serving_params(params: Params, dtype=jnp.bfloat16,
                 for layer in gp["layers"]
             ]
             out[sub] = gp
-        out["audio_head"] = [chunk_major(h) for h in out["audio_head"]]
+        # the audio_head GEMV profiles under the layer kernels at the
+        # default width (65% of HBM peak, docs/profile_decode_r3.md): its
+        # 12800-wide storage is not a power-of-two multiple, so widening
+        # via the global default pads (+4-12% dead bytes). Pick the widest
+        # PADDING-FREE divisor instead (2560 for the serving card; int8
+        # halves the cap for VMEM). 1460->1476 tok/s measured.
+        # UA2_HEAD_CHUNK overrides.
+        def head_width(h):
+            env = os.environ.get("UA2_HEAD_CHUNK")
+            if env:
+                return int(env)
+            if not hasattr(h, "values") or h.values.ndim != 2:
+                return None
+            stored = h.values.shape[-1]
+            from uniaudio2_tpu.ops.quant import (QuantizedLinearI4,
+                                                 QuantizedLinearI4G)
+            cap = 2560 if isinstance(h, (QuantizedLinearI4,
+                                         QuantizedLinearI4G)) else 1280
+            for bc in (2560, 2048, 1600, 1280, 1024, 512):
+                if bc <= cap and stored % bc == 0:
+                    return bc
+            return None
+        out["audio_head"] = [chunk_major(h, head_width(h))
+                             for h in out["audio_head"]]
     return out
 
 
