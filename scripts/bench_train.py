@@ -74,6 +74,9 @@ def main(argv=None):
                         "training is the sharded path.")
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--no-chunked-ce", action="store_true",
+                   help="dense logits CE (the chunked logit-free CE is the "
+                        "default; it removes the (B*S, V) logit temps)")
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--optimizer", choices=("adamw", "adafactor"),
                    default="adamw",
@@ -132,7 +135,8 @@ def main(argv=None):
     state = trainer.init_train_state(params, tx)
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=True,
-                                 remat=not args.no_remat),
+                                 remat=not args.no_remat,
+                                 chunked_ce=not args.no_chunked_ce),
         donate_argnums=(0,),
     )
 
@@ -193,6 +197,7 @@ def main(argv=None):
             "backbone_layers": cfg.backbone.n_layer, "batch": b, "seq": s,
             "remat": not args.no_remat, "accum": args.accum,
             "optimizer": args.optimizer, "padded_vocab": args.vocab,
+            "chunked_ce": not args.no_chunked_ce,
             "vocab_scaled": args.vocab != 128256,
         },
         "loss": round(loss, 4),

@@ -265,12 +265,20 @@ def forward(
     *,
     positions: Optional[jax.Array] = None,
     extra_mask: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Full-sequence forward over continuous features ``x`` (B, S, D).
 
     Returns hidden states after the final norm (B, S, D); the lm_head is
     applied by the caller (matching reference `GPT.forward`,
     `lit_model.py:180`).
+
+    ``remat`` checkpoints each LAYER: the backward pass keeps only the
+    per-layer carries and recomputes one layer's internals at a time —
+    the right granularity for activation checkpointing (an outer
+    `jax.checkpoint` around the whole forward still materialises every
+    layer's intermediates simultaneously during the recompute, which is
+    what capped the single-chip train batch — docs/bench_train_r3.md).
     """
     b, s, d = x.shape
     # With explicit positions, bound the table by the model's practical
@@ -297,6 +305,8 @@ def forward(
         xc = xc + _mlp(layer, hn, cfg)
         return xc, None
 
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
     if isinstance(params["layers"], list):  # unrolled serving form
         for i, layer in enumerate(params["layers"]):
             x, _ = layer_fn(x, (layer, wins[i]) if wins is not None else layer)

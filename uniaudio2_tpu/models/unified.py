@@ -303,6 +303,8 @@ def forward(
     tokens_mask: jax.Array,
     *,
     extra_mask: Optional[jax.Array] = None,
+    return_hidden: bool = False,
+    remat_layers: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Training forward.
 
@@ -319,8 +321,14 @@ def forward(
             the reference's `labels` argument.
         tokens_mask: (B, S+1, 9) bool (one step longer: the reference slices
             `[:, :-1]` for inputs, `model_new.py:424-428`).
+        remat_layers: per-layer activation checkpointing in every
+            transformer stack (see `gpt.forward`).
+        return_hidden: return pre-head hidden states instead of logits —
+            ``(h_final (B, S, D), dec_h (B·S, 8, D_dec))`` — for the
+            chunked (logit-free) CE path (`train/chunked_ce.py`).
     Returns:
-        text_logits (B, S, V_text), audio_logits (B, S, 8, V_audio).
+        text_logits (B, S, V_text), audio_logits (B, S, 8, V_audio) —
+        or the hidden-state pair under ``return_hidden``.
     """
     in_mask = tokens_mask[:, :-1, :]
     audio_input, text_embeds, a_mask, t_mask = _fuse_input(
@@ -328,16 +336,21 @@ def forward(
     )
     h_audio = gpt.forward(
         params["understanding_expert"], cfg.understanding_expert, audio_input,
-        extra_mask=extra_mask,
+        extra_mask=extra_mask, remat=remat_layers,
     )
     backbone_input = h_audio * a_mask + text_embeds * t_mask
     h = gpt.forward(params["backbone"], cfg.backbone, backbone_input,
-                    extra_mask=extra_mask)
+                    extra_mask=extra_mask, remat=remat_layers)
     h_gen = gpt.forward(
         params["generation_expert"], cfg.generation_expert, h * a_mask,
-        extra_mask=extra_mask,
+        extra_mask=extra_mask, remat=remat_layers,
     )
     h_final = h_gen * a_mask + h * t_mask
+    if return_hidden:
+        dec_h = _local_decoder_teacher_forced(
+            params, cfg, h_final, labels, return_hidden=True,
+            remat=remat_layers)
+        return h_final, dec_h
     text_logits = gpt.lm_head(params["backbone"], h_final, cfg.backbone)
 
     audio_logits = _local_decoder_teacher_forced(params, cfg, h_final, labels)
@@ -345,7 +358,8 @@ def forward(
 
 
 def _local_decoder_teacher_forced(
-    params: Params, cfg: UnifiedModelConfig, h_final: jax.Array, labels: jax.Array
+    params: Params, cfg: UnifiedModelConfig, h_final: jax.Array,
+    labels: jax.Array, return_hidden: bool = False, remat: bool = False,
 ) -> jax.Array:
     """Local RQ-decoder over every timestep in parallel (training).
 
@@ -360,7 +374,9 @@ def _local_decoder_teacher_forced(
     curr = jnp.concatenate([h_final[:, :, None, :], local_embeds], axis=2)
     curr = curr.reshape(b * s, ncb, d_b)
     proj = matmul(curr, params["projection_w"])
-    dec_h = gpt.forward(params["decoder"], cfg.decoder, proj)
+    dec_h = gpt.forward(params["decoder"], cfg.decoder, proj, remat=remat)
+    if return_hidden:
+        return dec_h                     # (B·S, ncb, D_dec), pre-head
     logits = jnp.einsum(
         "bnd,ndv->bnv", dec_h, params["audio_head"],
         preferred_element_type=jnp.float32,

@@ -130,3 +130,59 @@ def unified_loss(
     metrics.update(m_zero)
     metrics.update(m_res)
     return loss, metrics
+
+
+def unified_loss_fused(
+    h_final: jax.Array,
+    lm_head_w: jax.Array,
+    dec_h: jax.Array,
+    audio_head: jax.Array,
+    text_labels: jax.Array,
+    audio_labels: jax.Array,
+    text_loss_mask: jax.Array,
+    audio_loss_mask: jax.Array,
+    residual_weights: Sequence[float] = (1.0,) * 7,
+    chunk: int = 2048,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """`unified_loss` from HIDDEN STATES via the chunked (logit-free) CE
+    (`train/chunked_ce.py`) — same losses/metrics, no (B·S, V) logits in
+    memory.
+
+    Args:
+        h_final: (B, S, D) backbone output; lm_head_w: (D, V_text).
+        dec_h: (B·S, 8, D_dec) local-decoder output (pre-head);
+        audio_head: (8, D_dec, V_audio).
+    """
+    import functools
+
+    from uniaudio2_tpu.train import chunked_ce
+
+    b, s, d = h_final.shape
+    l_text, acc_text = chunked_ce.masked_ce(
+        h_final.reshape(b * s, d), lm_head_w,
+        text_labels.reshape(-1), text_loss_mask.reshape(-1), chunk)
+
+    ncb = dec_h.shape[1]
+    amask = audio_loss_mask.reshape(-1)
+    y = audio_labels.reshape(b * s, ncb)
+    sums_fn = functools.partial(chunked_ce.masked_ce_sums, chunk=chunk)
+    nll, acc = jax.vmap(
+        lambda hh, ww, yy: sums_fn(hh, ww, yy, amask)
+    )(jnp.transpose(dec_h, (1, 0, 2)), audio_head, y.T)  # (ncb,) each
+    denom = jnp.maximum(amask.astype(jnp.float32).sum(), 1.0)
+    per_cb = nll / denom
+    acc_cb = acc / denom
+
+    r = ncb - 1
+    assert len(residual_weights) == r
+    wts = jnp.asarray(list(residual_weights), jnp.float32)
+    l_zero = per_cb[0]
+    l_res = (per_cb[1:] * wts).sum() / r
+    loss = l_text + l_zero + l_res
+    metrics = {
+        "loss": loss, "loss_text": l_text, "acc_text": acc_text,
+        "loss_0": l_zero, "acc_0": acc_cb[0],
+    }
+    metrics.update({f"loss_{i+1}": per_cb[i + 1] for i in range(r)})
+    metrics.update({f"acc_{i+1}": acc_cb[i + 1] for i in range(r)})
+    return loss, metrics

@@ -50,6 +50,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-activation-checkpointing", dest="remat",
                    action="store_false")
     p.add_argument("--prefix_lm", action="store_true", default=False)
+    p.add_argument("--no-chunked-ce", dest="chunked_ce",
+                   action="store_false", default=True,
+                   help="dense-logits CE (the chunked logit-free CE is "
+                        "the default — train/chunked_ce.py)")
     p.add_argument("--mixed-precision", dest="precision", type=str,
                    default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--print_freq", type=int, default=100)
@@ -131,7 +135,8 @@ def main(argv: Optional[list] = None) -> None:
         reporter.load_state_dict(rep_state)
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=args.prefix_lm,
-                                 remat=args.remat),
+                                 remat=args.remat,
+                                 chunked_ce=args.chunked_ce),
         donate_argnums=(0,),
     )
 

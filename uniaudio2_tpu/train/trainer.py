@@ -97,7 +97,23 @@ def loss_fn(
     *,
     prefix_lm: bool = False,
     residual_weights: Sequence[float] = (1.0,) * 7,
+    chunked_ce: bool = True,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """``chunked_ce`` (default) computes both CE losses from hidden states
+    via the logit-free chunked path (`train/chunked_ce.py`) — float-
+    identical losses/grads without the (B·S, 128256) + (B·S, 8, 12300)
+    logit temps. Falls back to dense logits when the backbone configures
+    ``final_logit_softcapping`` (the fused path does not softcap).
+
+    ``remat`` (fused path only) applies PER-LAYER activation checkpointing
+    inside every transformer stack (`gpt.forward(remat=True)`) and leaves
+    the chunked CE outside: per-layer is the granularity that actually
+    bounds peak memory (one outer `jax.checkpoint` around the whole loss
+    still materialises every layer's intermediates simultaneously during
+    the recompute — and, wrapped around the chunked-CE scan, reproducibly
+    crashes the remote-TPU AOT compiler). The dense path keeps the
+    whole-loss checkpointing in `build_train_step`."""
     tokens = batch.grid[:, :-1]
     audio_labels = batch.grid[:, 1:, : cfg.tokens.num_codebooks]
     text_labels = batch.grid[:, 1:, -1]
@@ -107,6 +123,16 @@ def loss_fn(
         # use the union of text/audio loss masks as the target segment.
         seg = jnp.logical_or(batch.text_loss_mask, batch.audio_loss_mask)
         extra_mask = prefix_lm_mask(seg, prefix_lm=True)
+    if chunked_ce and cfg.backbone.final_logit_softcapping is None:
+        h_final, dec_h = unified.forward(
+            params, cfg, tokens, audio_labels, batch.grid_mask,
+            extra_mask=extra_mask, return_hidden=True, remat_layers=remat,
+        )
+        return losses.unified_loss_fused(
+            h_final, params["backbone"]["lm_head_w"], dec_h,
+            params["audio_head"], text_labels, audio_labels,
+            batch.text_loss_mask, batch.audio_loss_mask, residual_weights,
+        )
     text_logits, audio_logits = unified.forward(
         params, cfg, tokens, audio_labels, batch.grid_mask,
         extra_mask=extra_mask,
@@ -124,20 +150,26 @@ def build_train_step(
     prefix_lm: bool = False,
     residual_weights: Sequence[float] = (1.0,) * 7,
     remat: bool = True,
+    chunked_ce: bool = True,
 ):
     """Returns ``train_step(state, batch) -> (state, metrics)``, jittable.
 
     ``remat`` wraps the loss in `jax.checkpoint` (activation checkpointing,
     reference `--activation-checkpointing`, `arguments.py:68`).
+    ``chunked_ce``: see `loss_fn`.
     """
+
+    fused = chunked_ce and cfg.backbone.final_logit_softcapping is None
 
     def _loss(params, batch):
         return loss_fn(
             params, cfg, batch, prefix_lm=prefix_lm,
-            residual_weights=residual_weights,
+            residual_weights=residual_weights, chunked_ce=chunked_ce,
+            remat=remat and fused,
         )
 
-    grad_source = jax.checkpoint(_loss) if remat else _loss
+    # fused path: remat is applied INSIDE loss_fn to the model forward only
+    grad_source = jax.checkpoint(_loss) if (remat and not fused) else _loss
 
     def train_step(state: TrainState, batch: Batch):
         (loss, metrics), grads = jax.value_and_grad(grad_source, has_aux=True)(
