@@ -42,12 +42,16 @@ def main():
     params = unified.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     qmode = os.environ.get("UA2_BENCH_QUANT", "int4all")
     if qmode != "0":
+        all_mods = ("backbone", "decoder", "understanding_expert",
+                    "generation_expert", "audio_head", "projection_w")
         int4 = {
-            "int4all": ("backbone", "decoder", "understanding_expert",
-                        "generation_expert", "audio_head", "projection_w"),
+            "int4all": all_mods,
+            "int4allg": all_mods,
             "int4": ("decoder", "audio_head", "projection_w"),
         }.get(qmode, ())
-        params = quantize_unified_params(params, donate=True, int4_modules=int4)
+        params = quantize_unified_params(params, donate=True,
+                                         int4_modules=int4,
+                                         grouped=qmode.endswith("g"))
         params = unified.prepare_serving_params(params, cfg=cfg)
     engine = DecodeEngine(params, cfg, max_frames=frames, buckets=(64,))
     prompt = np.arange(1, 24, dtype=np.int64) % 100

@@ -98,11 +98,15 @@ def test_sample_topk_distribution_rbg_impl():
     vocab, k, temp = 16, 4, 0.8
     logits = jnp.asarray(np.linspace(0.0, 3.0, vocab), jnp.float32)
     n = 4000
-    with jax.default_prng_impl("rbg"):
+    prev = jax.config.jax_default_prng_impl
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
         keys = jax.random.split(jax.random.PRNGKey(0), n)
         assert keys.shape == (n, 4)
         toks = jax.vmap(
             lambda key: sample_topk(key, logits, k, temp))(keys)
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
     freq = np.bincount(np.asarray(toks), minlength=vocab) / n
     scaled = np.asarray(logits, np.float64) / temp
     top = np.argsort(scaled)[-k:]

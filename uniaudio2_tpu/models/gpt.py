@@ -412,7 +412,13 @@ def decode_step(
         attn = decode_attention(q, k_l, v_l, positions, scale=scale,
                                 key_valid=key_valid, logit_softcap=softcap,
                                 window=win)
-        # residual add folded into the attn-proj kernel (XLA add elsewhere)
+        # residual add folded into the attn-proj kernel (XLA add elsewhere).
+        # (A further fusion of this whole tail — proj + residual + norm2 +
+        # SwiGLU + residual as ONE two-phase grid kernel — was built,
+        # TPU-validated bit-close, and measured ~2% SLOWER end-to-end
+        # (1444/1461 vs 1479/1488 tok/s A/B): the phase-boundary stall and
+        # per-step predication cost more than the saved launch + y round
+        # trip. Removed; negative result in docs/profile_decode_r3.md.)
         xc = matmul(attn, layer["attn_proj_w"], residual=xc)
         xc = _mlp_block(layer, xc, cfg)
         return xc, (k_l, v_l)
