@@ -50,9 +50,10 @@ every matrix — the aggressive end of the quality/throughput knob; int8 is
 the conservative default for quality-critical serving; int4allg trades
 ~9% speed for +6.5 to +9.6 dB quantization SNR on heavy-tailed weights —
 docs/quant_quality_r3.md). The headline metric stays batch-1 to match the
-reference's per-utterance decode loop (the batched path reaches 8172
-tok/s at batch 8, 10756 at batch 12, 13579 at batch 16 — final r3
-layout). Per-kernel profiles:
+reference's per-utterance decode loop (the batched path reaches 9985
+tok/s at batch 8, 13179 at batch 12, 16867 at batch 16 — final r3 layout
+with per-layer list KV caches, which removed ~1.7 ms/frame of
+stacked-cache slice copies at batch 16). Per-kernel profiles:
 docs/profile_decode_r2.md, docs/profile_decode_r3.md. UA2_BENCH_TASK=asr
 measures text-mode decode frames/s instead. UA2_BENCH_SCALE=tiny runs a
 CPU-sized smoke variant. UA2_BENCH_APPROX=0 restores exact top-k.

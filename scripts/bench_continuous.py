@@ -25,6 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from uniaudio2_tpu.utils.prng import configure_serving_prng
+
+configure_serving_prng()  # rbg hardware PRNG; UA2_PRNG_IMPL overrides
+
 from uniaudio2_tpu.config import UnifiedModelConfig
 from uniaudio2_tpu.engine import tasks as taskmod
 from uniaudio2_tpu.engine.continuous import ContinuousEngine

@@ -34,6 +34,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from uniaudio2_tpu.utils.prng import configure_serving_prng
+
+    configure_serving_prng()  # rbg hardware PRNG; UA2_PRNG_IMPL overrides
+
     from uniaudio2_tpu.config import UnifiedModelConfig
     from uniaudio2_tpu.engine import tasks as taskmod
     from uniaudio2_tpu.engine.decode import DecodeEngine
@@ -61,9 +65,18 @@ def main():
     text = np.arange(5, 17, dtype=np.int64) % 100
     grid, mask = taskmod.prepare_tts(prompt, text, cfg.tokens)
 
-    def run(seed):
-        return engine.generate_audio(grid, mask, temperature=0.9, topk=50,
-                                     seed=seed)
+    batch = int(os.environ.get("UA2_PROFILE_BATCH", "1"))
+    if batch > 1:
+        items = [(grid, mask)] * batch
+
+        def run(seed):
+            outs = engine.generate_audio_batch(
+                items, temperature=0.9, topk=50, seed=seed)
+            return outs[0]
+    else:
+        def run(seed):
+            return engine.generate_audio(grid, mask, temperature=0.9,
+                                         topk=50, seed=seed)
 
     run(0)  # compile + warm
     os.makedirs(TRACE_DIR, exist_ok=True)

@@ -21,3 +21,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Serving entry points (bench, CLI, HTTP server) switch the process-global
+# default PRNG impl to the rbg hardware generator
+# (`utils/prng.configure_serving_prng`); tests that drive them in-process
+# must not leak that global into later tests (threefry key shapes/streams).
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _restore_default_prng_impl():
+    prev = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != prev:
+        jax.config.update("jax_default_prng_impl", prev)

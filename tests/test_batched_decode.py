@@ -102,3 +102,38 @@ def test_batched_cfg_pairs_independent(eng):
         )
         for got, want in zip(batched[i], solo[0]):
             np.testing.assert_array_equal(got, want)
+
+
+def test_list_caches_token_identical_to_stacked():
+    """The per-layer list-cache serving layout (`ops/kv_cache.py`) is a pure
+    layout change: greedy decode must be token-identical to the stacked
+    cache form on the same unrolled params."""
+    import jax
+
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.engine import tasks as tm
+    from uniaudio2_tpu.engine.decode import DecodeEngine
+    from uniaudio2_tpu.models import unified
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.prepare_serving_params(
+        unified.init_params(jax.random.PRNGKey(0), cfg), cfg=cfg,
+        dtype=jnp.float32)
+    grid, mask = tm.prepare_tts(np.array([1, 5, 6]), np.array([1, 10, 2]),
+                                cfg.tokens)
+    items = [(grid, mask)] * 3
+
+    outs = {}
+    for lists in (True, False):
+        eng = DecodeEngine(params, cfg, max_frames=6,
+                           cache_dtype=jnp.float32, buckets=(64,))
+        assert eng._cache_lists  # unrolled params -> lists by default
+        eng._cache_lists = lists
+        r, s = eng.generate_audio(grid, mask, topk=1)
+        br = eng.generate_audio_batch(items, topk=1)
+        outs[lists] = (r, s, br)
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    for (ra, sa), (rb, sb) in zip(outs[True][2], outs[False][2]):
+        np.testing.assert_array_equal(ra, rb)
+        np.testing.assert_array_equal(sa, sb)

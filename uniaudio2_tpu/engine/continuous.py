@@ -84,26 +84,25 @@ def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
     mirroring the static batched start (grid[:, -1:] fed at slot bucket-1,
     decode.py:283,308)."""
     start = s.pos - jnp.int32(bucket - 1)   # position of grid slot 0
-    cache_len = s.caches.backbone.k.shape[3]
+    cache_len = s.caches.backbone.max_seq
     slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
     valid_from_row = s.pos - length + 1     # first real-token position
     key_valid_row = (slot_idx[None, :] >= valid_from_row)[..., :]
 
+    def _row_slice(a):
+        # stacked (L, B, G, S, hd) -> batch axis 1; list leaf (B, ...) -> 0
+        return jax.lax.dynamic_slice_in_dim(
+            a, row, 1, axis=1 if a.ndim == 5 else 0)
+
+    def _row_splice(a, p):
+        return jax.lax.dynamic_update_slice_in_dim(
+            a, p, row, axis=1 if a.ndim == 5 else 0)
+
     def slice_cache(c):
-        return UnifiedCaches(*[
-            type(k)(
-                jax.lax.dynamic_slice_in_dim(k.k, row, 1, axis=1),
-                jax.lax.dynamic_slice_in_dim(k.v, row, 1, axis=1),
-            ) for k in c
-        ])
+        return jax.tree_util.tree_map(_row_slice, c)
 
     def splice_cache(full, part):
-        return UnifiedCaches(*[
-            type(f)(
-                jax.lax.dynamic_update_slice_in_dim(f.k, p.k, row, axis=1),
-                jax.lax.dynamic_update_slice_in_dim(f.v, p.v, row, axis=1),
-            ) for f, p in zip(full, part)
-        ])
+        return jax.tree_util.tree_map(_row_splice, full, part)
 
     row_caches = slice_cache(s.caches)
     # run the bucket-1 prompt prefix through the decode path at offset
@@ -230,7 +229,7 @@ def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
     def segment(params: Params, s: SlotState, r_rows: jax.Array,
                 r_grids: jax.Array, r_masks: jax.Array, r_lens: jax.Array,
                 r_caps: jax.Array):
-        cache_len = s.caches.backbone.k.shape[3]
+        cache_len = s.caches.backbone.max_seq
         slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
         n_lanes = r_rows.shape[0]
 
@@ -270,7 +269,7 @@ def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
                                   cfg_scale=cfg_scale)
 
     def drain(params: Params, s: SlotState):
-        cache_len = s.caches.backbone.k.shape[3]
+        cache_len = s.caches.backbone.max_seq
         slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
         b = s.active.shape[0]
         slab0 = jnp.zeros((b, drain_cap, ncb + 3), jnp.int32)
@@ -319,7 +318,7 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
         # with use_cfg, q_grids/q_masks are (Q, 2, bucket, 9): [cond, uncond]
         n_q = q_grids.shape[0]
         b = s.active.shape[0]
-        cache_len = s.caches.backbone.k.shape[3]
+        cache_len = s.caches.backbone.max_seq
         slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
         rows_idx = jnp.arange(b, dtype=jnp.int32)
 
@@ -458,6 +457,8 @@ class ContinuousEngine:
         self.params = params
         self.cfg = cfg
         self.mode = mode
+        self._cache_lists = isinstance(
+            params.get("backbone", {}).get("layers"), list)
         self.rows = rows
         self.use_cfg = use_cfg
         self._pair = 2 if use_cfg else 1
@@ -489,7 +490,8 @@ class ContinuousEngine:
     def _fresh_state(self, cache_dtype=jnp.bfloat16) -> SlotState:
         b = self.rows
         caches = unified.init_caches(self.cfg, b, dtype=cache_dtype,
-                                     seq_len=self.cache_len)
+                                     seq_len=self.cache_len,
+                                     as_lists=self._cache_lists)
         self._key, sub = jax.random.split(self._key)
         return SlotState(
             pos=jnp.int32(self.bucket),

@@ -82,6 +82,7 @@ def _build_generate(
     cache_dtype=jnp.bfloat16,
     cache_sharding=None,
     approx_topk: bool = False,
+    cache_lists: bool = False,
 ):
     """Construct the jittable full-generation function for one configuration."""
     ts = cfg.tokens
@@ -103,10 +104,12 @@ def _build_generate(
         cfg_scale: jax.Array,   # f32 scalar (ignored unless use_cfg)
     ):
         caches = unified.init_caches(cfg, batch, dtype=cache_dtype,
-                                     seq_len=cache_len)
+                                     seq_len=cache_len,
+                                     as_lists=cache_lists)
         if cache_sharding is not None:
             caches = jax.tree_util.tree_map(
-                lambda a: jax.lax.with_sharding_constraint(a, cache_sharding),
+                lambda a: jax.lax.with_sharding_constraint(
+                    a, cache_sharding[a.ndim]),
                 caches,
             )
         # Prefill positions [0, bucket-1) with grid[:, :-1] (reference
@@ -246,6 +249,7 @@ def _build_generate_batched(
     cache_dtype=jnp.bfloat16,
     cache_sharding=None,
     approx_topk: bool = False,
+    cache_lists: bool = False,
 ):
     """Batched multi-utterance generation: B independent rows decode in one
     compiled loop with per-row EOS / two-phase state.
@@ -282,10 +286,12 @@ def _build_generate_batched(
     ):
         b = n_rows
         caches = unified.init_caches(cfg, b, dtype=cache_dtype,
-                                     seq_len=cache_len)
+                                     seq_len=cache_len,
+                                     as_lists=cache_lists)
         if cache_sharding is not None:
             caches = jax.tree_util.tree_map(
-                lambda a: jax.lax.with_sharding_constraint(a, cache_sharding),
+                lambda a: jax.lax.with_sharding_constraint(
+                    a, cache_sharding[a.ndim]),
                 caches,
             )
         slot = jnp.arange(cache_len, dtype=jnp.int32)
@@ -441,16 +447,24 @@ class DecodeEngine:
         )
         self._compiled: Dict[Tuple, Any] = {}
         self.approx_topk = approx_topk
+        # unrolled per-layer weights pair with per-layer cache buffers
+        # (`ops/kv_cache.py`): removes the stacked-slice cache copies that
+        # dominate batched decode glue (~1.7 ms/frame at batch 16)
+        self._cache_lists = isinstance(
+            params.get("backbone", {}).get("layers"), list)
         self._cache_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             from uniaudio2_tpu.parallel import mesh as meshlib
 
             params = meshlib.shard_params(params, mesh, use_tp=use_tp)
-            # cache leaves are (L, B, G, S, hd): shard kv groups over tp
-            self._cache_sharding = NamedSharding(
-                mesh, PartitionSpec(None, None, "tp" if use_tp else None)
-            )
+            # shard kv groups over tp: cache leaves are (L, B, G, S, hd)
+            # stacked or (B, G, S, hd) per-layer lists
+            tp = "tp" if use_tp else None
+            self._cache_sharding = {
+                5: NamedSharding(mesh, PartitionSpec(None, None, tp)),
+                4: NamedSharding(mesh, PartitionSpec(None, tp)),
+            }
         self.params = params
 
     def _get(self, mode: str, bucket: int, temperature: float, topk: int,
@@ -464,6 +478,7 @@ class DecodeEngine:
                 topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
                 cache_sharding=self._cache_sharding,
                 approx_topk=self.approx_topk,
+                cache_lists=self._cache_lists,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -539,6 +554,7 @@ class DecodeEngine:
                 topk=topk, use_cfg=use_cfg, cache_dtype=self.cache_dtype,
                 cache_sharding=self._cache_sharding,
                 approx_topk=self.approx_topk,
+                cache_lists=self._cache_lists,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -674,7 +690,8 @@ class DecodeEngine:
             cfg = self.cfg
 
             def prefill_fn(params, grid, grid_mask):
-                caches = unified.init_caches(cfg, batch, dtype=self.cache_dtype)
+                caches = unified.init_caches(cfg, batch, dtype=self.cache_dtype,
+                                             as_lists=self._cache_lists)
                 return unified.prefill(
                     params, cfg, grid[:, :-1], grid_mask[:, :-1], caches
                 )
@@ -686,8 +703,11 @@ class DecodeEngine:
                 return gpt.lm_head(params["backbone"], last_h, cfg.backbone), caches
 
             def reorder_fn(caches, order):
+                # stacked leaves are (L, B, G, S, hd); per-layer list
+                # leaves are (B, G, S, hd)
                 return jax.tree_util.tree_map(
-                    lambda c: jnp.take(c, order, axis=1), caches
+                    lambda c: jnp.take(c, order, axis=1 if c.ndim == 5 else 0),
+                    caches,
                 )
 
             self._compiled[key] = (

@@ -361,13 +361,20 @@ def prefill(
 
     if isinstance(params["layers"], list):  # unrolled serving form
         k_all, v_all = cache.k, cache.v
+        lists = isinstance(k_all, list)
+        if lists:
+            k_all, v_all = list(k_all), list(v_all)
         for i, layer in enumerate(params["layers"]):
             inputs = (layer, k_all[i], v_all[i])
             if wins is not None:
                 inputs = inputs + (wins[i],)
             x, (k_l, v_l) = layer_fn(x, inputs)
-            k_all = k_all.at[i].set(k_l)
-            v_all = v_all.at[i].set(v_l)
+            if lists:   # per-layer buffers: no stacked-slice copies
+                k_all[i] = k_l
+                v_all[i] = v_l
+            else:
+                k_all = k_all.at[i].set(k_l)
+                v_all = v_all.at[i].set(v_l)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
     xs = (params["layers"], cache.k, cache.v)
     if wins is not None:
@@ -430,13 +437,20 @@ def decode_step(
         # and its gate could never pass under the chunk-major QKV layout.
         # Negative result recorded in docs/profile_decode_r3.md.)
         k_all, v_all = cache.k, cache.v
+        lists = isinstance(k_all, list)
+        if lists:
+            k_all, v_all = list(k_all), list(v_all)
         for i, layer in enumerate(params["layers"]):
             inputs = (layer, k_all[i], v_all[i])
             if wins is not None:
                 inputs = inputs + (wins[i],)
             x, (k_l, v_l) = layer_fn(x, inputs)
-            k_all = k_all.at[i].set(k_l)
-            v_all = v_all.at[i].set(v_l)
+            if lists:
+                k_all[i] = k_l
+                v_all[i] = v_l
+            else:
+                k_all = k_all.at[i].set(k_l)
+                v_all = v_all.at[i].set(v_l)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
     xs = (params["layers"], cache.k, cache.v)
     if wins is not None:

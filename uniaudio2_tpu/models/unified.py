@@ -80,18 +80,24 @@ def init_params(
 
 def init_caches(
     cfg: UnifiedModelConfig, batch: int, dtype=jnp.bfloat16,
-    seq_len: Optional[int] = None,
+    seq_len: Optional[int] = None, as_lists: bool = False,
 ) -> UnifiedCaches:
     """``seq_len`` overrides the config cap so the decode engine can size the
     cache to the actual bucket+frames budget — attention traffic then scales
     with the real sequence instead of always paying the 2048 ceiling (the
     static-shape analog of the reference's `input_pos_maxp1` slicing,
-    `lit_model.py:141-145`)."""
+    `lit_model.py:141-145`).
+
+    ``as_lists`` builds per-layer cache buffers to pair with unrolled
+    per-layer weights (`ops/kv_cache.py` — removes the stacked-slice cache
+    copies that dominate batched decode glue)."""
     s = seq_len or cfg.max_seq_len
     return UnifiedCaches(
-        backbone=init_cache(cfg.backbone, batch, s, dtype),
-        understanding=init_cache(cfg.understanding_expert, batch, s, dtype),
-        generation=init_cache(cfg.generation_expert, batch, s, dtype),
+        backbone=init_cache(cfg.backbone, batch, s, dtype, as_lists),
+        understanding=init_cache(
+            cfg.understanding_expert, batch, s, dtype, as_lists),
+        generation=init_cache(
+            cfg.generation_expert, batch, s, dtype, as_lists),
     )
 
 
