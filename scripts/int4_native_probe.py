@@ -143,14 +143,22 @@ def main():
                     xx = fn(xx)[:, :k]
                 return xx
 
+            # weights as jit ARGS (never closed over — CLAUDE.md rule)
             for name, fn in [
-                ("bitcast-i4", lambda xx: int4_native_matmul(xx, v3, sj)),
-                ("shiftchain", lambda xx: q.matmul(xx, vq)),
+                ("bitcast-i4",
+                 lambda xx, w, ss: int4_native_matmul(xx, w, ss)),
+                ("shiftchain", lambda xx, w, ss: q.matmul(xx, w)),
             ]:
-                g = jax.jit(functools.partial(chain, fn))
-                o = g(xj); np.asarray(o)
+                def chain_w(xx, w, ss, fn=fn):
+                    for _ in range(50):
+                        xx = fn(xx, w, ss)[:, :k]
+                    return xx
+
+                g = jax.jit(chain_w)
+                wop = v3 if name == "bitcast-i4" else vq
+                o = g(xj, wop, sj); np.asarray(o)
                 t0 = time.perf_counter()
-                o = g(xj); np.asarray(o)
+                o = g(xj, wop, sj); np.asarray(o)
                 dt = (time.perf_counter() - t0) / 50
                 gbs = (k * n / 2) / dt / 1e9
                 print(f"{name}: chained 50x {dt*1e6:.1f} us/call "

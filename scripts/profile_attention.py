@@ -12,12 +12,13 @@ For each: the production einsum path (`ops/attention.py`, f32 softmax) vs
 runs (28/32-layer scans) on the real chip; prints one JSON line per variant.
 """
 
+
+from __future__ import annotations
+
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from __future__ import annotations
 
 import json
 import time

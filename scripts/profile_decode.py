@@ -9,12 +9,13 @@ Times (single large runs — TPU timing noise ±5%, see CLAUDE.md):
 Usage: python scripts/profile_decode.py  (runs on the axon TPU)
 """
 
+
+from __future__ import annotations
+
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from __future__ import annotations
 
 import json
 import time

@@ -12,12 +12,13 @@ Variants per shape:
   vpu                   — Pallas VPU GEMV (broadcast-mult + K-reduce)
 """
 
+
+from __future__ import annotations
+
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from __future__ import annotations
 
 import functools
 import json

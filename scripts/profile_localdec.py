@@ -8,12 +8,13 @@ Variants of the 8-microstep frame loop (128 frames each, timed once):
 Plus an isolated chain of lax.top_k(. , 200)+gumbel+argmax on (1, 4096).
 """
 
+
+from __future__ import annotations
+
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from __future__ import annotations
 
 import json
 import time

@@ -11,12 +11,13 @@ Three forms of a 28-layer serial int4 GEMV chain at the backbone MLP shape:
 Prints GB/s of true weight bytes per variant.
 """
 
+
+from __future__ import annotations
+
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from __future__ import annotations
 
 import functools
 import json

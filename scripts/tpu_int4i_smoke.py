@@ -62,9 +62,9 @@ def main():
         nw = jnp.ones((k_dim,), jnp.bfloat16)
         res = (jax.random.normal(kk[2], (1, n_dim)) * 0.1
                ).astype(jnp.bfloat16)
-        out = jax.jit(lambda x, r: q._pallas_int4i_matmul(
-            x, wi.values, wi.scale, pre_norm=(nw, 1e-5), residual=r)
-        )(x, res)
+        out = jax.jit(lambda x, w, r: q._pallas_int4i_matmul(
+            x, w.values, w.scale, pre_norm=(nw, 1e-5), residual=r)
+        )(x, wi, res)  # weights as jit args, never closed over (CLAUDE.md)
         ref = (rms_norm(x.astype(jnp.float32), nw.astype(jnp.float32), 1e-5)
                .astype(jnp.bfloat16).astype(jnp.float32) @ wd
                + res.astype(jnp.float32))
@@ -85,8 +85,8 @@ def main():
         res = (jax.random.normal(kk[4], (1, n_dim)) * 0.1
                ).astype(jnp.bfloat16)
         assert fused_mlp.can_fuse(i1, i2, i3, x), "fused gate declined"
-        out = jax.jit(lambda x, r: fused_mlp.fused_swiglu(
-            x, i1, i2, i3, norm_w=nw, residual=r))(x, res)
+        out = jax.jit(lambda x, w1, w2, w3, r: fused_mlp.fused_swiglu(
+            x, w1, w2, w3, norm_w=nw, residual=r))(x, i1, i2, i3, res)
         hn = rms_norm(x.astype(jnp.float32), nw.astype(jnp.float32), 1e-5
                       ).astype(jnp.bfloat16).astype(jnp.float32)
         h = jax.nn.silu(hn @ d1) * (hn @ d2)
@@ -105,8 +105,8 @@ def main():
         cos_t, sin_t = rope_cache(64, hd)
         cos, sin = cos_t[9], sin_t[9]
         assert qkv_step.can_fuse(wi, x, h_, g_, hd), "qkv gate declined"
-        qq, kk_, vv = jax.jit(lambda x: qkv_step.qkv_rope_step(
-            x, wi, nw, 1e-5, cos, sin, h_, g_, hd))(x)
+        qq, kk_, vv = jax.jit(lambda x, w: qkv_step.qkv_rope_step(
+            x, w, nw, 1e-5, cos, sin, h_, g_, hd))(x, wi)
         hn = rms_norm(x.astype(jnp.float32), nw.astype(jnp.float32), 1e-5
                       ).astype(jnp.bfloat16)
         qkv = (hn.astype(jnp.float32) @ wd).astype(jnp.bfloat16)

@@ -45,10 +45,12 @@ def main():
         cos, sin = cos_t[9:10], sin_t[9:10]
         assert qkv_step.can_fuse(wq, x, h, g, hd), name
 
-        fused = jax.jit(lambda x, wq=wq, hh=h, gg=g, dd=hd, nw=norm_w,
+        # weights passed as jit ARGUMENTS (never closed over — CLAUDE.md:
+        # captured weights become HLO constants through the tunnel)
+        fused = jax.jit(lambda x, w, hh=h, gg=g, dd=hd, nw=norm_w,
                         c=cos, s=sin: qkv_step.qkv_rope_step(
-                            x, wq, nw, 1e-5, c[0], s[0], hh, gg, dd))
-        q, kk, v = fused(x)
+                            x, w, nw, 1e-5, c[0], s[0], hh, gg, dd))
+        q, kk, v = fused(x, wq)
         q, kk, v = np.asarray(q), np.asarray(kk), np.asarray(v)
 
         hn = rms_norm(x.astype(jnp.float32), norm_w.astype(jnp.float32), 1e-5)
