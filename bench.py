@@ -40,8 +40,9 @@ Measured batch-1 on one v5e-class chip:
     int4all      1368.2            r3 + fused QKV step kernel
     int4all      1425.2            r3 + row-interleaved int4 (bitcast unpack)
     int4all      1460-1470         r3 + 1024-wide serving chunks
-    int4all      1475-1510         r3 + padding-free audio_head chunks
-                                      + rbg hardware PRNG (final r3)
+    int4all      1475-1552         r3 + padding-free audio_head chunks
+                                      + rbg hardware PRNG (final r3;
+                                      median ~1500 across 6 runs)
     int4allg     1285.4            final r3 layout
     int8          965.2            final r3 layout
 
