@@ -78,6 +78,14 @@ def main(argv=None):
                    help="dense logits CE (the chunked logit-free CE is the "
                         "default; it removes the (B*S, V) logit temps)")
     p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--audio-capacity", type=int, default=None,
+                   help="static per-row audio-step capacity: run the local "
+                        "decoder + audio CE only on gathered audio rows "
+                        "(trainer.audio_gather_indices). The bench batch "
+                        "has s//2-1 audio rows, so s//2 is exact-parity. "
+                        "The MFU convention already credits the decoder on "
+                        "the audio fraction only, so this flag raises MFU "
+                        "by removing real waste, not by recounting.")
     p.add_argument("--optimizer", choices=("adamw", "adafactor"),
                    default="adamw",
                    help="adafactor (factored second moments) is the only "
@@ -136,7 +144,8 @@ def main(argv=None):
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=True,
                                  remat=not args.no_remat,
-                                 chunked_ce=not args.no_chunked_ce),
+                                 chunked_ce=not args.no_chunked_ce,
+                                 audio_capacity=args.audio_capacity),
         donate_argnums=(0,),
     )
 
@@ -198,6 +207,7 @@ def main(argv=None):
             "remat": not args.no_remat, "accum": args.accum,
             "optimizer": args.optimizer, "padded_vocab": args.vocab,
             "chunked_ce": not args.no_chunked_ce,
+            "audio_capacity": args.audio_capacity,
             "vocab_scaled": args.vocab != 128256,
         },
         "loss": round(loss, 4),

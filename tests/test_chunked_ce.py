@@ -128,3 +128,67 @@ def test_train_step_chunked_matches_dense():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b_, np.float32),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_audio_gather_indices():
+    from uniaudio2_tpu.train import trainer
+
+    amask = jnp.asarray([[False, True, True, False, True],
+                         [True, False, False, False, False]])
+    idx, valid = trainer.audio_gather_indices(amask, 3)
+    np.testing.assert_array_equal(np.asarray(idx[0]), [1, 2, 4])
+    assert np.asarray(valid[0]).all()
+    assert np.asarray(idx[1])[0] == 0
+    np.testing.assert_array_equal(np.asarray(valid[1]), [True, False, False])
+    # capacity is clamped to S
+    idx, valid = trainer.audio_gather_indices(amask, 99)
+    assert idx.shape == (2, 5)
+
+
+def test_train_step_audio_capacity_matches_dense():
+    """Gathered-local-decoder training (static audio capacity) is loss- and
+    update-equivalent to the dense run when capacity covers every row's
+    audio count — including ragged per-row counts."""
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.models import unified
+    from uniaudio2_tpu.train import schedule, trainer
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    tx = trainer.make_optimizer(schedule.warmup_lr(1e-3, warmup_steps=10))
+    b, s = 2, 10
+    par = cfg.tokens.parallel_number
+    ncb = cfg.tokens.num_codebooks
+    r = np.random.default_rng(3)
+    grid = jnp.asarray(r.integers(0, 30, size=(b, s + 1, par)), jnp.int32)
+    gmask = np.zeros((b, s + 1, par), bool)
+    gmask[:, : s // 2, -1] = True
+    gmask[:, s // 2:, :ncb] = True
+    tmask = np.zeros((b, s), bool); tmask[:, 1: s // 2] = True
+    amask = np.zeros((b, s), bool)
+    amask[0, s // 2: s - 1] = True   # 4 audio steps
+    amask[1, s // 2: s - 3] = True   # 2 audio steps (ragged)
+    batch = trainer.Batch(grid=grid, grid_mask=jnp.asarray(gmask),
+                          text_loss_mask=jnp.asarray(tmask),
+                          audio_loss_mask=jnp.asarray(amask))
+
+    outs = {}
+    for cap in (None, 4, s):
+        state = trainer.init_train_state(params, tx)
+        step = jax.jit(trainer.build_train_step(
+            cfg, tx, prefix_lm=True, remat=True, audio_capacity=cap))
+        state, metrics = step(state, batch)
+        outs[cap] = (state, metrics)
+    m_d = outs[None][1]
+    for cap in (4, s):
+        m_g = outs[cap][1]
+        for k in m_d:
+            np.testing.assert_allclose(
+                float(m_g[k]), float(m_d[k]), rtol=1e-5, atol=1e-6,
+                err_msg=f"cap={cap} metric={k}")
+        leaves_g = jax.tree_util.tree_leaves(outs[cap][0].params)
+        leaves_d = jax.tree_util.tree_leaves(outs[None][0].params)
+        for a, b_ in zip(leaves_g, leaves_d):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b_, np.float32),
+                                       rtol=2e-4, atol=2e-5)

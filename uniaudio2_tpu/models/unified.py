@@ -311,14 +311,25 @@ def forward(
     extra_mask: Optional[jax.Array] = None,
     return_hidden: bool = False,
     remat_layers: bool = False,
+    decoder_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Training forward.
 
     Mirrors `Model_stage3.forward` but returns *dense* local-decoder logits:
     the reference gathers only audio steps with a boolean index
     (`model_new.py:449` — data-dependent shape, hostile to XLA); here the
-    local decoder runs at every step and the loss masks non-audio steps
-    instead (same gradients, static shapes).
+    local decoder by default runs at every step and the loss masks
+    non-audio steps instead (same gradients, static shapes).
+
+    ``decoder_positions`` (B, C) int32 recovers the reference's gather with
+    a STATIC capacity C: the local decoder (and audio head / CE) runs only
+    on the gathered rows — on mixed text+audio batches this cuts the
+    decoder's work by the non-audio fraction (the decoder MLPs are ~40 % of
+    the dense train step's device time, docs/profile_train_r3.md). The
+    caller supplies per-row audio-step positions padded to C (see
+    `trainer.audio_gather_indices`) and masks the loss with the matching
+    validity mask; rows beyond C are dropped from the loss, so C must be
+    >= the per-row audio count for exact parity with the dense path.
 
     Args:
         tokens: (B, S, 9); teacher-forced input grid (last dim: 8 audio + text).
@@ -352,14 +363,20 @@ def forward(
         extra_mask=extra_mask, remat=remat_layers,
     )
     h_final = h_gen * a_mask + h * t_mask
+    dec_in, dec_labels = h_final, labels
+    if decoder_positions is not None:
+        idx = decoder_positions[:, :, None]
+        dec_in = jnp.take_along_axis(h_final, idx, axis=1)       # (B, C, D)
+        dec_labels = jnp.take_along_axis(labels, idx, axis=1)    # (B, C, 8)
     if return_hidden:
         dec_h = _local_decoder_teacher_forced(
-            params, cfg, h_final, labels, return_hidden=True,
+            params, cfg, dec_in, dec_labels, return_hidden=True,
             remat=remat_layers)
         return h_final, dec_h
     text_logits = gpt.lm_head(params["backbone"], h_final, cfg.backbone)
 
-    audio_logits = _local_decoder_teacher_forced(params, cfg, h_final, labels)
+    audio_logits = _local_decoder_teacher_forced(params, cfg, dec_in,
+                                                 dec_labels)
     return text_logits, audio_logits
 
 

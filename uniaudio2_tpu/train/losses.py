@@ -150,7 +150,11 @@ def unified_loss_fused(
 
     Args:
         h_final: (B, S, D) backbone output; lm_head_w: (D, V_text).
-        dec_h: (B·S, 8, D_dec) local-decoder output (pre-head);
+        dec_h: (B·N, 8, D_dec) local-decoder output (pre-head) — N is S for
+            the dense path, or the gather capacity C when the trainer runs
+            the decoder on gathered audio rows (`decoder_positions`); then
+            ``audio_labels``/``audio_loss_mask`` are (B, N, 8)/(B, N) in the
+            same gathered space.
         audio_head: (8, D_dec, V_audio).
     """
     import functools
@@ -164,7 +168,7 @@ def unified_loss_fused(
 
     ncb = dec_h.shape[1]
     amask = audio_loss_mask.reshape(-1)
-    y = audio_labels.reshape(b * s, ncb)
+    y = audio_labels.reshape(dec_h.shape[0], ncb)
     sums_fn = functools.partial(chunked_ce.masked_ce_sums, chunk=chunk)
     nll, acc = jax.vmap(
         lambda hh, ww, yy: sums_fn(hh, ww, yy, amask)

@@ -90,6 +90,33 @@ def init_train_state(
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
 
 
+def audio_gather_indices(
+    audio_loss_mask: jax.Array, capacity: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-row positions of the first ``capacity`` audio-loss steps.
+
+    The reference gathers audio steps with a boolean index before its local
+    decoder (`model_new.py:449`) — a data-dependent shape. The TPU-native
+    equivalent is a STATIC capacity: a stable argsort floats each row's
+    audio positions (in order) to the front, truncated to C.
+
+    Returns:
+        idx (B, C) int32 gather positions, valid (B, C) bool. Rows with
+        fewer than C audio steps are padded (idx points at arbitrary
+        non-audio steps, valid=False). Rows with MORE than C audio steps
+        lose the tail from the loss — choose C >= the bucket's max audio
+        span for exact parity with the dense path.
+    """
+    b, s = audio_loss_mask.shape
+    capacity = min(capacity, s)
+    order = jnp.argsort(jnp.logical_not(audio_loss_mask), axis=1,
+                        stable=True)
+    idx = order[:, :capacity].astype(jnp.int32)
+    count = audio_loss_mask.sum(axis=1, dtype=jnp.int32)
+    valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < count[:, None]
+    return idx, valid
+
+
 def loss_fn(
     params: Params,
     cfg: UnifiedModelConfig,
@@ -99,6 +126,7 @@ def loss_fn(
     residual_weights: Sequence[float] = (1.0,) * 7,
     chunked_ce: bool = True,
     remat: bool = False,
+    audio_capacity: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """``chunked_ce`` (default) computes both CE losses from hidden states
     via the logit-free chunked path (`train/chunked_ce.py`) — float-
@@ -124,14 +152,23 @@ def loss_fn(
         seg = jnp.logical_or(batch.text_loss_mask, batch.audio_loss_mask)
         extra_mask = prefix_lm_mask(seg, prefix_lm=True)
     if chunked_ce and cfg.backbone.final_logit_softcapping is None:
+        a_labels, a_mask, dec_pos = audio_labels, batch.audio_loss_mask, None
+        if audio_capacity is not None:
+            # run the local decoder + audio CE only on (up to C) audio rows
+            dec_pos, valid = audio_gather_indices(
+                batch.audio_loss_mask, audio_capacity)
+            a_labels = jnp.take_along_axis(
+                audio_labels, dec_pos[:, :, None], axis=1)
+            a_mask = valid
         h_final, dec_h = unified.forward(
             params, cfg, tokens, audio_labels, batch.grid_mask,
             extra_mask=extra_mask, return_hidden=True, remat_layers=remat,
+            decoder_positions=dec_pos,
         )
         return losses.unified_loss_fused(
             h_final, params["backbone"]["lm_head_w"], dec_h,
-            params["audio_head"], text_labels, audio_labels,
-            batch.text_loss_mask, batch.audio_loss_mask, residual_weights,
+            params["audio_head"], text_labels, a_labels,
+            batch.text_loss_mask, a_mask, residual_weights,
         )
     text_logits, audio_logits = unified.forward(
         params, cfg, tokens, audio_labels, batch.grid_mask,
@@ -151,12 +188,19 @@ def build_train_step(
     residual_weights: Sequence[float] = (1.0,) * 7,
     remat: bool = True,
     chunked_ce: bool = True,
+    audio_capacity: Optional[int] = None,
 ):
     """Returns ``train_step(state, batch) -> (state, metrics)``, jittable.
 
     ``remat`` wraps the loss in `jax.checkpoint` (activation checkpointing,
     reference `--activation-checkpointing`, `arguments.py:68`).
     ``chunked_ce``: see `loss_fn`.
+    ``audio_capacity``: static per-row audio-step capacity; runs the local
+    decoder + audio CE only on gathered audio rows (`audio_gather_indices`)
+    instead of densely over every position. Exact-loss-equivalent when
+    >= every row's audio count (see docs/profile_train_r3.md for the
+    measured step-time effect on the half-audio bench batch). Fused path
+    only.
     """
 
     fused = chunked_ce and cfg.backbone.final_logit_softcapping is None
@@ -166,6 +210,7 @@ def build_train_step(
             params, cfg, batch, prefix_lm=prefix_lm,
             residual_weights=residual_weights, chunked_ce=chunked_ce,
             remat=remat and fused,
+            audio_capacity=audio_capacity if fused else None,
         )
 
     # fused path: remat is applied INSIDE loss_fn to the model forward only
