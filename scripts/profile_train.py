@@ -35,6 +35,7 @@ def main(argv=None):
     p.add_argument("--vocab", type=int, default=32256)
     p.add_argument("--steps", type=int, default=2, help="traced steps")
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--audio-capacity", type=int, default=None)
     args = p.parse_args(argv)
 
     import jax
@@ -66,7 +67,8 @@ def main(argv=None):
     state = trainer.init_train_state(params, tx)
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=True,
-                                 remat=not args.no_remat),
+                                 remat=not args.no_remat,
+                                 audio_capacity=args.audio_capacity),
         donate_argnums=(0,),
     )
 

@@ -50,6 +50,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-activation-checkpointing", dest="remat",
                    action="store_false")
     p.add_argument("--prefix_lm", action="store_true", default=False)
+    p.add_argument("--audio-capacity", dest="audio_capacity", type=int,
+                   default=None,
+                   help="static per-row audio-step capacity: run the local "
+                        "decoder + audio CE on gathered audio rows only "
+                        "(trainer.audio_gather_indices; exact-loss when >= "
+                        "every row's audio count — set it to the bucket's "
+                        "max audio span). Measured +60%% step throughput "
+                        "on half-audio batches (docs/profile_train_r3.md)")
     p.add_argument("--no-chunked-ce", dest="chunked_ce",
                    action="store_false", default=True,
                    help="dense-logits CE (the chunked logit-free CE is "
@@ -136,7 +144,8 @@ def main(argv: Optional[list] = None) -> None:
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=args.prefix_lm,
                                  remat=args.remat,
-                                 chunked_ce=args.chunked_ce),
+                                 chunked_ce=args.chunked_ce,
+                                 audio_capacity=args.audio_capacity),
         donate_argnums=(0,),
     )
 
