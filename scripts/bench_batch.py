@@ -1,6 +1,8 @@
 """Batched serving throughput (generate_audio_batch) at full scale on TPU.
 
-UA2_BENCH_QUANT as in bench.py (default int4all); UA2_BENCH_BATCH rows.
+UA2_BENCH_QUANT as in bench.py (default int4all); UA2_BENCH_BATCH rows;
+UA2_BENCH_FRAMES frame budget (the KV cache sizes to bucket+frames);
+UA2_ATTN_BLOCK bounds attention reads to the filled cache prefix.
 Times one fixed-length batched generation with fresh seeds (see CLAUDE.md
 timing rules).
 """
@@ -28,7 +30,7 @@ from uniaudio2_tpu.engine import tasks as taskmod
 from uniaudio2_tpu.models import unified
 from uniaudio2_tpu.ops.quant import quantize_unified_params
 
-FRAMES = 128
+FRAMES = int(os.environ.get("UA2_BENCH_FRAMES", "128"))
 
 
 def main():

@@ -137,3 +137,31 @@ def test_list_caches_token_identical_to_stacked():
     for (ra, sa), (rb, sb) in zip(outs[True][2], outs[False][2]):
         np.testing.assert_array_equal(ra, rb)
         np.testing.assert_array_equal(sa, sb)
+
+
+def test_prefix_bounded_attention_token_identical():
+    """`attn_block` (prefix-bounded attention reads) is a pure read-traffic
+    optimization: greedy decode must be token-identical to full-cache
+    reads, single and batched (ragged prompts), with sampling too."""
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    grid, mask = tm.prepare_tts(np.array([1, 5, 6]), np.array([1, 10, 2]),
+                                cfg.tokens)
+
+    outs = {}
+    for blk in (0, 16):
+        eng = DecodeEngine(params, cfg, max_frames=6,
+                           cache_dtype=jnp.float32, buckets=(64,),
+                           attn_block=blk)
+        r, s = eng.generate_audio(grid, mask, topk=1)
+        rs, ss = eng.generate_audio(grid, mask, topk=8, temperature=0.9,
+                                    seed=7)
+        items = _items(eng, 3)
+        bt = eng.generate_text_batch(items, topk=1, temperature=1.0)
+        outs[blk] = (r, s, rs, ss, bt)
+    np.testing.assert_array_equal(outs[0][0], outs[16][0])
+    np.testing.assert_array_equal(outs[0][1], outs[16][1])
+    np.testing.assert_array_equal(outs[0][2], outs[16][2])
+    np.testing.assert_array_equal(outs[0][3], outs[16][3])
+    for a, b in zip(outs[0][4], outs[16][4]):
+        np.testing.assert_array_equal(a, b)

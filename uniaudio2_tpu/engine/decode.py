@@ -25,6 +25,7 @@ phase and subtracting ``audio_reason_card`` from semantic codes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -83,6 +84,7 @@ def _build_generate(
     cache_sharding=None,
     approx_topk: bool = False,
     cache_lists: bool = False,
+    attn_block: int = 0,
 ):
     """Construct the jittable full-generation function for one configuration."""
     ts = cfg.tokens
@@ -151,7 +153,7 @@ def _build_generate(
                 forbid_prefix=s.forbid_prefix,
                 use_cfg=use_cfg, cfg_scale=cfg_scale,
                 sample_text=mode == "text", sample_audio=mode == "audio",
-                approx_topk=approx_topk,
+                approx_topk=approx_topk, attn_block=attn_block,
             )
             text_tok = frame[0, 0]          # row 0 = conditioned
             audio_toks = frame[0, 1:]       # (8,)
@@ -250,6 +252,7 @@ def _build_generate_batched(
     cache_sharding=None,
     approx_topk: bool = False,
     cache_lists: bool = False,
+    attn_block: int = 0,
 ):
     """Batched multi-utterance generation: B independent rows decode in one
     compiled loop with per-row EOS / two-phase state.
@@ -341,7 +344,7 @@ def _build_generate_batched(
                 use_cfg=use_cfg, cfg_scale=cfg_scale,
                 key_valid=key_valid,
                 sample_text=mode == "text", sample_audio=mode == "audio",
-                approx_topk=approx_topk,
+                approx_topk=approx_topk, attn_block=attn_block,
             )
             text_tok = frame[:, 0]          # (B,)
             audio_toks = frame[:, 1:]       # (B, 8)
@@ -425,6 +428,7 @@ class DecodeEngine:
         mesh=None,
         use_tp: bool = False,
         approx_topk: bool = True,
+        attn_block: Optional[int] = None,
     ):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip serving —
         parameters are placed by `parallel/mesh.py`'s specs (FSDP over the
@@ -438,10 +442,20 @@ class DecodeEngine:
         ~1e-3 at serving temperatures for ~3.4% end-to-end throughput
         (1286 -> 1330 tok/s batch-1); greedy (topk=1) is argmax either way,
         so token-identity guarantees are unaffected. Pass False for exact
-        `lax.top_k` sampling."""
+        `lax.top_k` sampling.
+
+        ``attn_block`` (default from env ``UA2_ATTN_BLOCK``, 0=off) bounds
+        decode-attention READS to the smallest block multiple covering the
+        current position (`ops/attention.py prefix_levels`): early steps
+        stream only the filled cache prefix, so attention traffic scales
+        with actual context instead of the (bucket+max_frames) budget.
+        Token-identical; pays one `lax.switch` per layer-step."""
         self.cfg = cfg
         self.max_frames = max_frames
         self.cache_dtype = cache_dtype
+        if attn_block is None:
+            attn_block = int(os.environ.get("UA2_ATTN_BLOCK", "0"))
+        self.attn_block = int(attn_block)
         self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (
             cfg.max_seq_len,
         )
@@ -479,6 +493,7 @@ class DecodeEngine:
                 cache_sharding=self._cache_sharding,
                 approx_topk=self.approx_topk,
                 cache_lists=self._cache_lists,
+                attn_block=self.attn_block,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
@@ -555,6 +570,7 @@ class DecodeEngine:
                 cache_sharding=self._cache_sharding,
                 approx_topk=self.approx_topk,
                 cache_lists=self._cache_lists,
+                attn_block=self.attn_block,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]

@@ -383,6 +383,17 @@ def prefill(
     return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_new, v_new)
 
 
+def _prefix_levels(
+    s_max: int, block: Optional[int]
+) -> Optional[Tuple[int, ...]]:
+    """Static attention-read levels [block, 2*block, ..., s_max] for
+    `decode_attention(prefix_levels=...)`; None when bounding is off or
+    cannot help (block >= s_max)."""
+    if not block or block >= s_max:
+        return None
+    return tuple(range(block, s_max, block)) + (s_max,)
+
+
 def decode_step(
     params: Params,
     cfg: GPTConfig,
@@ -391,11 +402,17 @@ def decode_step(
     pos: jax.Array,
     *,
     key_valid: Optional[jax.Array] = None,
+    attn_block: Optional[int] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One incremental step: ``x`` (B, T, D) at absolute positions
     [pos, pos+T). Writes K/V then attends over the full static cache with a
     position mask (plus an optional per-row ``key_valid`` cache mask for
-    batched decoding over ragged prompts). Typically T == 1."""
+    batched decoding over ragged prompts). Typically T == 1.
+
+    ``attn_block`` bounds attention READS to the smallest multiple of the
+    block covering ``pos`` (`decode_attention(prefix_levels=...)`): early
+    decode steps then stream only the filled cache prefix instead of the
+    whole budget — the paged-KV equivalent for static TPU shapes."""
     b, t, d = x.shape
     cos_t, sin_t = _rope_tables(cfg, cache.max_seq)
     positions = pos + jnp.arange(t, dtype=jnp.int32)
@@ -404,6 +421,7 @@ def decode_step(
     scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
     softcap = cfg.attention_logit_softcapping
     wins = _layer_windows(cfg, cache.max_seq)
+    levels = _prefix_levels(cache.max_seq, attn_block)
 
     def layer_fn(carry, inputs):
         xc = carry
@@ -418,7 +436,7 @@ def decode_step(
         k_l, v_l = update_layer(k_l, v_l, k, v, pos)
         attn = decode_attention(q, k_l, v_l, positions, scale=scale,
                                 key_valid=key_valid, logit_softcap=softcap,
-                                window=win)
+                                window=win, prefix_levels=levels)
         # residual add folded into the attn-proj kernel (XLA add elsewhere).
         # (A further fusion of this whole tail — proj + residual + norm2 +
         # SwiGLU + residual as ONE two-phase grid kernel — was built,

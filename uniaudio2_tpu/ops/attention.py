@@ -17,7 +17,7 @@ Softmax is computed in float32 regardless of activation dtype.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +91,39 @@ def causal_attention(
     return out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
+def _attend_prefix(
+    qg: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_positions: jax.Array,
+    scale: float,
+    key_valid: Optional[jax.Array],
+    logit_softcap: Optional[float],
+    window: Optional[jax.Array],
+) -> jax.Array:
+    """Dense masked attention of grouped queries against the (possibly
+    prefix-sliced) cache. Shared by the full-cache and level-switched
+    paths of `decode_attention`."""
+    s_max = k_cache.shape[2]
+    scores = jnp.einsum(
+        "bgpth,bgsh->bgpts", qg, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    scores = _softcap(scores, logit_softcap)
+    key_idx = jnp.arange(s_max, dtype=jnp.int32)
+    mask = key_idx[None, :] <= q_positions[:, None]  # (T, S)
+    if window is not None:
+        mask = jnp.logical_and(
+            mask, q_positions[:, None] - key_idx[None, :] < window
+        )
+    if key_valid is not None:
+        mask = jnp.logical_and(
+            mask[None], key_valid[:, None, :]
+        )[:, None, None]  # (B, 1, 1, T, S)
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    return jnp.einsum("bgpts,bgsh->bgpth", probs, v_cache)
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -101,6 +134,7 @@ def decode_attention(
     key_valid: Optional[jax.Array] = None,
     logit_softcap: Optional[float] = None,
     window: Optional[jax.Array] = None,
+    prefix_levels: Optional[Tuple[int, ...]] = None,
 ) -> jax.Array:
     """Incremental GQA against a static-length cache.
 
@@ -113,6 +147,15 @@ def decode_attention(
             decoding, where shorter rows carry garbage K/V between their true
             length and the shared bucket length).
         logit_softcap / window: see `causal_attention`.
+        prefix_levels: optional ascending static prefix lengths ending at
+            S_max. When given, a `lax.switch` picks the smallest level
+            covering the last query position and attends only over that
+            static prefix slice — cache slots past the fill line are never
+            READ, so early-decode attention traffic scales with the filled
+            prefix instead of the full cache budget (the TPU-shaped
+            equivalent of paged-KV reads; the write side is unchanged).
+            Token-identical to the full read: the masked tail contributes
+            exact zeros.
     Returns:
         (B, T, H*hd)
     """
@@ -121,21 +164,30 @@ def decode_attention(
     if scale is None:
         scale = 1.0 / (hd ** 0.5)
     qg = _group_query_heads(q, g)
-    scores = jnp.einsum(
-        "bgpth,bgsh->bgpts", qg, k_cache, preferred_element_type=jnp.float32
-    ) * scale
-    scores = _softcap(scores, logit_softcap)
-    key_idx = jnp.arange(s_max, dtype=jnp.int32)
-    mask = key_idx[None, :] <= q_positions[:, None]  # (T, S_max)
-    if window is not None:
-        mask = jnp.logical_and(
-            mask, q_positions[:, None] - key_idx[None, :] < window
+    if prefix_levels is not None and len(prefix_levels) > 1:
+        assert prefix_levels[-1] == s_max and list(prefix_levels) == sorted(
+            set(prefix_levels)
+        ), f"bad prefix levels {prefix_levels} for cache length {s_max}"
+        need = q_positions[-1] + 1  # cache slots [0, need) may be attended
+        sel = jnp.searchsorted(
+            jnp.asarray(prefix_levels, jnp.int32), need, side="left"
         )
-    if key_valid is not None:
-        mask = jnp.logical_and(
-            mask[None], key_valid[:, None, :]
-        )[:, None, None]  # (B, 1, 1, T, S)
-    scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("bgpts,bgsh->bgpth", probs, v_cache)
+
+        def make_branch(lvl: int):
+            def branch(qg, k_cache, v_cache, q_positions, key_valid):
+                return _attend_prefix(
+                    qg, k_cache[:, :, :lvl], v_cache[:, :, :lvl],
+                    q_positions, scale,
+                    None if key_valid is None else key_valid[:, :lvl],
+                    logit_softcap, window,
+                )
+            return branch
+
+        out = jax.lax.switch(
+            sel, [make_branch(l) for l in prefix_levels],
+            qg, k_cache, v_cache, q_positions, key_valid,
+        )
+    else:
+        out = _attend_prefix(qg, k_cache, v_cache, q_positions, scale,
+                             key_valid, logit_softcap, window)
     return out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, h * hd)
