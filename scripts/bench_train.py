@@ -86,16 +86,21 @@ def main(argv=None):
                         "The MFU convention already credits the decoder on "
                         "the audio fraction only, so this flag raises MFU "
                         "by removing real waste, not by recounting.")
-    p.add_argument("--optimizer", choices=("adamw", "adafactor"),
+    p.add_argument("--optimizer",
+                   choices=("adamw", "adafactor", "adamw_lean"),
                    default="adamw",
-                   help="adafactor (factored second moments) is the only "
-                        "optimizer whose state fits this model on ONE "
-                        "16 GiB chip: with AdamW the bf16 param+grad+"
-                        "2-moment floor of the non-backbone parameters "
-                        "alone (embedding/audio tables ~2B params) "
-                        "exceeds HBM at any backbone depth (measured: "
-                        "17.2G at 2L/b1/s512). AdamW-parity training is "
-                        "the sharded path (check_multichip_compile.py).")
+                   help="adamw_lean (train/lean_opt.py: int8 first moment "
+                        "+ factored second moment, leaf-serialized update, "
+                        "~5 bytes/param state+grad) is the optimizer that "
+                        "fits a >=8-layer-backbone geometry on ONE 16 GiB "
+                        "chip; plain AdamW's bf16 param+grad+2-moment "
+                        "floor of the non-backbone parameters alone "
+                        "(~2B params) exceeds HBM at any backbone depth "
+                        "(measured: 17.2G at 2L/b1/s512 full vocab), and "
+                        "optax adafactor's update OOMs on f32 temporaries "
+                        "(42.3G planned at 8L). AdamW-parity full-model "
+                        "training is the sharded path "
+                        "(check_multichip_compile.py).")
     args = p.parse_args(argv)
 
     tiny = os.environ.get("UA2_BENCH_SCALE") == "tiny"

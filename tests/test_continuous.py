@@ -197,3 +197,37 @@ def test_cfg_submit_requires_negative(setup):
     g, m = _requests(cfg.tokens, 1)[0]
     with pytest.raises(AssertionError):
         ce.submit(g, m)
+
+
+def test_attn_block_token_identical_in_continuous(setup):
+    """Prefix-bounded attention reads (attn_block) must not change tokens
+    through the continuous-batching loops (segments + drain + in-loop
+    refill prefills) — ADVICE r3 item 2 plumbed it into this engine."""
+    cfg, params, _ = setup
+    reqs = _requests(cfg.tokens, 4)
+    outs = {}
+    for blk in (0, 64):
+        ce = ContinuousEngine(
+            params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+            cache_len=256, max_frames=8, topk=1, cache_dtype=jnp.float32,
+            attn_block=blk,
+        )
+        rids = [ce.submit(g, m) for g, m in reqs]
+        res = ce.run_until_drained()
+        outs[blk] = [np.asarray(res[r]) for r in rids]
+    for a, b in zip(outs[0], outs[64]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_resolve_attn_block_policy():
+    """Auto enables block 128 only at cache budgets >= 512 (the measured
+    crossover: cache 256 loses 2-6%, cache 768 wins up to +22% —
+    docs/profile_decode_r4.md)."""
+    from uniaudio2_tpu.engine.decode import resolve_attn_block
+
+    assert resolve_attn_block(-1, 256) == 0
+    assert resolve_attn_block(-1, 512) == 128
+    assert resolve_attn_block(-1, 768) == 128
+    assert resolve_attn_block(None, 256) == 0
+    assert resolve_attn_block(0, 2048) == 0      # explicit off wins
+    assert resolve_attn_block(64, 256) == 64     # explicit block wins

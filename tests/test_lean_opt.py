@@ -1,0 +1,139 @@
+"""Memory-lean optimizer (`train/lean_opt.py`): int8 first moment round
+trip, factored second-moment exactness on rank-1 statistics, tracking vs
+exact AdamW on a convex problem, optax composition (clip + MultiSteps),
+state-size accounting, and a tiny unified-model train-step integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from uniaudio2_tpu.train import lean_opt, schedule, trainer
+
+
+def test_int8_moment_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    for shape in [(7,), (300,), (12, 47), (3, 130, 9)]:
+        m = jnp.asarray(rng.standard_normal(shape) * 0.01, jnp.float32)
+        q, scale = lean_opt._quant_m(m)
+        out = lean_opt._dequant_m(q, scale)
+        # absmax/127 per 256-block: error <= half a quantization step
+        blocks = np.pad(np.asarray(m).reshape(-1),
+                        (0, scale.shape[0] * lean_opt.M_BLOCK - m.size))
+        bmax = np.abs(blocks.reshape(-1, lean_opt.M_BLOCK)).max(1)
+        step = np.repeat(bmax / 127.0, lean_opt.M_BLOCK)[: m.size]
+        err = np.abs(np.asarray(out - m)).reshape(-1)
+        assert (err <= step * 0.5 + 1e-12).all()
+
+
+def test_factored_v_exact_on_rank1():
+    # when E[g^2] is exactly rank-1 (outer product), the factored
+    # reconstruction equals the full second moment
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(np.abs(rng.standard_normal(6)) + 0.1, jnp.float32)
+    c = jnp.asarray(np.abs(rng.standard_normal(9)) + 0.1, jnp.float32)
+    g2 = r[:, None] * c[None, :]
+    v = lean_opt._v_update(lean_opt._v_init(jnp.zeros((6, 9))), g2, b2=0.0)
+    inv = lean_opt._v_rsqrt(v, jnp.float32(1.0), eps=0.0)
+    np.testing.assert_allclose(
+        np.asarray(1.0 / inv**2), np.asarray(g2), rtol=1e-5)
+
+
+def test_tracks_adamw_on_quadratic():
+    """adamw_lean reaches (nearly) the same optimum as exact AdamW on a
+    convex least-squares problem — the approximations (int8 m, factored v)
+    must not change where it converges, only micro-dynamics."""
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((20, 12)), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((20, 4)), jnp.float32)
+
+    def loss(w):
+        return jnp.mean((a @ w - target) ** 2)
+
+    def run(tx, steps=300):
+        w = jnp.zeros((12, 4), jnp.float32)
+        st = tx.init(w)
+
+        @jax.jit
+        def step(w, st):
+            g = jax.grad(loss)(w)
+            upd, st = tx.update(g, st, w)
+            return optax.apply_updates(w, upd), st
+
+        for _ in range(steps):
+            w, st = step(w, st)
+        return float(loss(w))
+
+    ref = run(optax.adamw(1e-2, b1=0.9, b2=0.95, weight_decay=0.01))
+    lean = run(lean_opt.adamw_lean(1e-2, b1=0.9, b2=0.95,
+                                   weight_decay=0.01))
+    base = float(loss(jnp.zeros((12, 4))))
+    assert lean < 0.5 * base              # actually optimizes
+    # measured: |lean - ref| ~ 3e-7 on this problem — the int8 moment and
+    # factored v do not move the optimum AdamW converges to
+    assert abs(lean - ref) < 0.01 * base
+
+
+def test_make_optimizer_composition_and_accum():
+    params = {"w": jnp.ones((8, 4)), "b": jnp.zeros((4,))}
+    tx = trainer.make_optimizer(
+        schedule.warmup_lr(1e-3, warmup_steps=2),
+        grad_clip=1.0, accum_steps=2, optimizer="adamw_lean")
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    upd1, st = tx.update(g, st, params)
+    # first accumulation micro-step: no update emitted yet
+    assert float(jnp.abs(upd1["w"]).max()) == 0.0
+    upd2, st = tx.update(g, st, params)
+    assert float(jnp.abs(upd2["w"]).max()) > 0.0
+
+
+def test_state_bytes_lean():
+    """Optimizer state must be ~1.07 bytes/param (int8 m + block scales +
+    factored v), not 8 (two f32 moments) or 4 (two bf16)."""
+    params = {"w": jnp.zeros((512, 384), jnp.bfloat16),
+              "s": jnp.zeros((1024,), jnp.bfloat16)}
+    tx = lean_opt.adamw_lean(1e-3)
+    st = tx.init(params)
+    n = 512 * 384 + 1024
+    per_param = lean_opt.state_bytes(st) / n
+    assert per_param < 1.3, per_param
+
+
+def test_unified_train_step_with_lean_opt():
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.models import unified
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.float32)
+    tx = trainer.make_optimizer(schedule.warmup_lr(1e-3, warmup_steps=2),
+                                optimizer="adamw_lean")
+    state = trainer.init_train_state(params, tx)
+    step = jax.jit(trainer.build_train_step(cfg, tx, remat=True),
+                   donate_argnums=(0,))
+
+    b, s = 2, 16
+    par = cfg.tokens.parallel_number
+    ncb = cfg.tokens.num_codebooks
+    rng = np.random.default_rng(0)
+    grid = rng.integers(0, 50, size=(b, s + 1, par)).astype(np.int32)
+    gmask = np.zeros((b, s + 1, par), bool)
+    gmask[:, : s // 2, -1] = True
+    gmask[:, s // 2:, :ncb] = True
+    tmask = np.zeros((b, s), bool)
+    tmask[:, 1: s // 2] = True
+    amask = np.zeros((b, s), bool)
+    amask[:, s // 2: s - 1] = True
+    batch = trainer.Batch(
+        grid=jnp.asarray(grid), grid_mask=jnp.asarray(gmask),
+        text_loss_mask=jnp.asarray(tmask), audio_loss_mask=jnp.asarray(amask))
+
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]   # optimizes the (memorizable) batch

@@ -180,7 +180,10 @@ def test_checkpoint_save_resume(tmp_path, tiny_dataset):
     )
 
 
-def test_train_cli_end_to_end(tmp_path, tiny_dataset):
+@pytest.mark.parametrize("optimizer", ["adamw", "adamw_lean"])
+def test_train_cli_end_to_end(tmp_path, tiny_dataset, optimizer):
+    """adamw_lean also covers Orbax save of the int8/factored optimizer
+    state and the FSDP-sharded leaf-serialized update (train/lean_opt.py)."""
     d, jpath = tiny_dataset
     from uniaudio2_tpu.train import train as train_cli
 
@@ -194,7 +197,7 @@ def test_train_cli_end_to_end(tmp_path, tiny_dataset):
         "semantic_bos: 64\nsemantic_eos: 65\nsemantic_pad_token: 66\n"
         "text_pad_token: 900\n"
     )
-    exp = str(tmp_path / "exp")
+    exp = str(tmp_path / f"exp_{optimizer}")
     train_cli.main([
         "--train_data_jsons", str(d / "asr_task.json"),
         "--exp_dir", exp,
@@ -202,6 +205,6 @@ def test_train_cli_end_to_end(tmp_path, tiny_dataset):
         "--n_epoch", "1", "--batch_scale", "64", "--debug_steps", "2",
         "--learning_rate", "1e-3", "--warmup_steps", "10",
         "--data-parallel", "fsdp", "--mixed-precision", "fp32",
-        "--print_freq", "1",
+        "--print_freq", "1", "--optimizer", optimizer,
     ])
     assert os.path.isdir(os.path.join(exp, "ep0.checkpoint"))

@@ -77,7 +77,7 @@ class SlotState(NamedTuple):
 def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
                 row: jax.Array, grid: jax.Array, grid_mask: jax.Array,
                 length: jax.Array, max_frames: jax.Array,
-                bucket: int) -> SlotState:
+                bucket: int, attn_block: int = 0) -> SlotState:
     """Write one queued request's prompt into ``row``. Grid slot i maps to
     position start+i with the LAST real token (slot bucket-1) landing at
     s.pos — it is fed as the first frame input there by the decode loop,
@@ -110,7 +110,7 @@ def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
     # from contaminating real ones, and key_valid hides them after
     _, row_caches = unified.decode_hidden(
         params, cfg, grid[:, :-1], grid_mask[:, :-1], row_caches,
-        start, key_valid=key_valid_row,
+        start, key_valid=key_valid_row, attn_block=attn_block,
     )
     caches = splice_cache(s.caches, row_caches)
 
@@ -134,7 +134,8 @@ def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
 
 def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
                      temperature: float, topk: int,
-                     use_cfg: bool = False, cfg_scale: float = 1.0):
+                     use_cfg: bool = False, cfg_scale: float = 1.0,
+                     attn_block: int = 0):
     """One decode frame over the batch -> (state, per-row packed outputs
     (B, ncb+3) int32: [text, audio x ncb, phase, done]). With ``use_cfg``
     the rows are interleaved [cond, uncond] pairs (guidance mixing inside
@@ -151,7 +152,7 @@ def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
             sub, temperature=temperature, topk=topk,
             forbid_prefix=s.forbid_prefix[:, None],
             use_cfg=use_cfg, cfg_scale=jnp.float32(cfg_scale),
-            key_valid=key_valid,
+            key_valid=key_valid, attn_block=attn_block,
             sample_text=mode == "text", sample_audio=mode == "audio",
         )
         text_tok = frame[:, 0]
@@ -218,13 +219,14 @@ def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
 
 def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
                    seg_frames: int, temperature: float, topk: int,
-                   use_cfg: bool = False, cfg_scale: float = 1.0):
+                   use_cfg: bool = False, cfg_scale: float = 1.0,
+                   attn_block: int = 0):
     """Fused refill prologue + K decode frames. ``r_rows[i] < 0`` marks an
     unused refill lane (the `lax.cond` skips its prefill entirely). A CFG
     request simply occupies two lanes (cond row 2p, uncond row 2p+1)."""
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
                                   topk=topk, use_cfg=use_cfg,
-                                  cfg_scale=cfg_scale)
+                                  cfg_scale=cfg_scale, attn_block=attn_block)
 
     def segment(params: Params, s: SlotState, r_rows: jax.Array,
                 r_grids: jax.Array, r_masks: jax.Array, r_lens: jax.Array,
@@ -240,7 +242,7 @@ def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
                     params, cfg, s, jnp.maximum(r_rows[i], 0),
                     jax.lax.dynamic_slice_in_dim(r_grids, i, 1, axis=0),
                     jax.lax.dynamic_slice_in_dim(r_masks, i, 1, axis=0),
-                    r_lens[i], r_caps[i], bucket),
+                    r_lens[i], r_caps[i], bucket, attn_block),
                 lambda s: s,
                 s,
             )
@@ -259,14 +261,15 @@ def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
 
 def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
                  temperature: float, topk: int,
-                 use_cfg: bool = False, cfg_scale: float = 1.0):
+                 use_cfg: bool = False, cfg_scale: float = 1.0,
+                 attn_block: int = 0):
     """Decode until every row is inactive or the cache budget ends — the
     whole tail in one dispatch. Returns (state, slab (B, drain_cap, C),
     n_steps)."""
     ncb = cfg.tokens.num_codebooks
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
                                   topk=topk, use_cfg=use_cfg,
-                                  cfg_scale=cfg_scale)
+                                  cfg_scale=cfg_scale, attn_block=attn_block)
 
     def drain(params: Params, s: SlotState):
         cache_len = s.caches.backbone.max_seq
@@ -296,7 +299,8 @@ def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
 
 def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
                    out_cap: int, temperature: float, topk: int,
-                   use_cfg: bool = False, cfg_scale: float = 1.0):
+                   use_cfg: bool = False, cfg_scale: float = 1.0,
+                   attn_block: int = 0):
     """Fully in-graph continuous batching over a fixed request list: ONE
     dispatch decodes Q requests through B rows, admitting the next queued
     prompt into a row the frame after the row frees (refill-on-completion
@@ -311,7 +315,7 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
     pair = 2 if use_cfg else 1
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
                                   topk=topk, use_cfg=use_cfg,
-                                  cfg_scale=cfg_scale)
+                                  cfg_scale=cfg_scale, attn_block=attn_block)
 
     def offline(params: Params, s: SlotState, q_grids: jax.Array,
                 q_masks: jax.Array, q_lens: jax.Array, q_caps: jax.Array):
@@ -344,18 +348,18 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
                         params, cfg, c.s, r,
                         jax.lax.dynamic_slice_in_dim(q_grids[:, 0], qi, 1, 0),
                         jax.lax.dynamic_slice_in_dim(q_masks[:, 0], qi, 1, 0),
-                        q_lens[qi], q_caps[qi], bucket)
+                        q_lens[qi], q_caps[qi], bucket, attn_block)
                     s = _refill_one(
                         params, cfg, s, r + 1,
                         jax.lax.dynamic_slice_in_dim(q_grids[:, 1], qi, 1, 0),
                         jax.lax.dynamic_slice_in_dim(q_masks[:, 1], qi, 1, 0),
-                        q_lens[qi], q_caps[qi], bucket)
+                        q_lens[qi], q_caps[qi], bucket, attn_block)
                 else:
                     s = _refill_one(
                         params, cfg, c.s, r,
                         jax.lax.dynamic_slice_in_dim(q_grids, qi, 1, axis=0),
                         jax.lax.dynamic_slice_in_dim(q_masks, qi, 1, axis=0),
-                        q_lens[qi], q_caps[qi], bucket)
+                        q_lens[qi], q_caps[qi], bucket, attn_block)
                 return c._replace(
                     s=s, next_q=c.next_q + 1,
                     row_req=c.row_req.at[r].set(qi),
@@ -449,7 +453,8 @@ class ContinuousEngine:
                  max_frames: int = 128, temperature: float = 0.9,
                  topk: int = 1, seed: int = 888,
                  use_cfg: bool = False, cfg_scale: float = 1.0,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16,
+                 attn_block: "Optional[int]" = None):
         assert mode in ("text", "audio")
         if use_cfg:
             assert mode == "audio", "CFG guides audio generation (TTS/TTA)"
@@ -470,14 +475,26 @@ class ContinuousEngine:
         self._slots = [_Slot() for _ in range(rows // self._pair)]
         self._results: Dict[int, Any] = {}
         self._next_rid = 0
+        # same auto policy as DecodeEngine (r4 A/B table,
+        # docs/profile_decode_r4.md); resolved against this engine's
+        # cache budget (ADVICE r3 item 2: prefix bounding now covers the
+        # continuous-batching loops, not just the compiled frame loops)
+        if attn_block is None:
+            import os as _os
+            env = _os.environ.get("UA2_ATTN_BLOCK", "auto")
+            attn_block = -1 if env == "auto" else int(env)
+        from uniaudio2_tpu.engine.decode import resolve_attn_block
+        self.attn_block = resolve_attn_block(int(attn_block), cache_len)
         self._segment = jax.jit(_build_segment(
             cfg, mode=mode, bucket=bucket, seg_frames=seg_frames,
             temperature=temperature, topk=topk, use_cfg=use_cfg,
-            cfg_scale=cfg_scale), donate_argnums=(1,))
+            cfg_scale=cfg_scale, attn_block=self.attn_block),
+            donate_argnums=(1,))
         self._drain = jax.jit(_build_drain(
             cfg, mode=mode, drain_cap=cache_len - bucket,
             temperature=temperature, topk=topk, use_cfg=use_cfg,
-            cfg_scale=cfg_scale), donate_argnums=(1,))
+            cfg_scale=cfg_scale, attn_block=self.attn_block),
+            donate_argnums=(1,))
         self._key = jax.random.PRNGKey(seed)
         self._state = self._fresh_state(cache_dtype)
         self._pos_host = self.bucket   # mirrors state.pos (no device reads)
@@ -575,7 +592,7 @@ class ContinuousEngine:
                 self.cfg, mode=self.mode, bucket=self.bucket,
                 out_cap=out_cap, temperature=self._temperature,
                 topk=self._topk, use_cfg=self.use_cfg,
-                cfg_scale=self._cfg_scale))
+                cfg_scale=self._cfg_scale, attn_block=self.attn_block))
         pair = self._pair
         qshape = ((n_q, 2, self.bucket, 9) if self.use_cfg
                   else (n_q, self.bucket, 9))

@@ -46,6 +46,23 @@ PHASE_REASON = 1
 PHASE_SEMANTIC = 2
 
 
+def resolve_attn_block(attn_block: Optional[int], cache_len: int) -> int:
+    """Resolve the prefix-bounded-attention block for one compiled program.
+
+    ``attn_block < 0`` means AUTO: block 128 when the program's cache
+    budget is >= 512 slots, off below. Policy from the round-4 TPU A/B on
+    the real generation loop (docs/profile_decode_r4.md): at cache 256 the
+    per-layer `lax.switch` overhead loses 2-6% at every batch size; at
+    cache 768 it wins +22% at batch 16, +4.7% at batch 8, and is
+    noise-level (+1.9%) at batch 1; block 128 >= block 64 at every
+    measured point."""
+    if attn_block is None:
+        attn_block = -1
+    if attn_block < 0:
+        return 128 if cache_len >= 512 else 0
+    return attn_block
+
+
 def pick_bucket(length: int, buckets=DEFAULT_BUCKETS) -> int:
     for b in buckets:
         if length <= b:
@@ -96,6 +113,7 @@ def _build_generate(
     # reads the whole static cache every step, so this directly scales the
     # per-frame HBM traffic with the real workload.
     cache_len = min(cfg.max_seq_len, -(-(bucket + max_frames) // 256) * 256)
+    attn_block = resolve_attn_block(attn_block, cache_len)
 
     def generate(
         params: Params,
@@ -278,6 +296,7 @@ def _build_generate_batched(
         max(cfg.max_seq_len, bucket + max_frames + 1),
         -(-(bucket + max_frames + 1) // 256) * 256,
     )
+    attn_block = resolve_attn_block(attn_block, cache_len)
 
     def generate(
         params: Params,
@@ -444,17 +463,24 @@ class DecodeEngine:
         so token-identity guarantees are unaffected. Pass False for exact
         `lax.top_k` sampling.
 
-        ``attn_block`` (default from env ``UA2_ATTN_BLOCK``, 0=off) bounds
+        ``attn_block`` (default from env ``UA2_ATTN_BLOCK``; "auto"/unset =
+        per-program policy, 0 = off, N = explicit block) bounds
         decode-attention READS to the smallest block multiple covering the
         current position (`ops/attention.py prefix_levels`): early steps
         stream only the filled cache prefix, so attention traffic scales
         with actual context instead of the (bucket+max_frames) budget.
-        Token-identical; pays one `lax.switch` per layer-step."""
+        Token-identical; pays one `lax.switch` per layer-step. AUTO
+        enables block 128 only for programs whose cache budget is >= 512
+        slots — the measured crossover on the real loop (r4 A/B, block 128
+        at cache 768: +22% batch-16 / +4.7% batch-8 / noise at batch-1;
+        at cache 256 every batch size lost 2-6% to the switch —
+        docs/profile_decode_r4.md)."""
         self.cfg = cfg
         self.max_frames = max_frames
         self.cache_dtype = cache_dtype
         if attn_block is None:
-            attn_block = int(os.environ.get("UA2_ATTN_BLOCK", "0"))
+            env = os.environ.get("UA2_ATTN_BLOCK", "auto")
+            attn_block = -1 if env == "auto" else int(env)
         self.attn_block = int(attn_block)
         self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (
             cfg.max_seq_len,
@@ -712,9 +738,14 @@ class DecodeEngine:
                     params, cfg, grid[:, :-1], grid_mask[:, :-1], caches
                 )
 
+            # host-driven steps use the full max_seq_len cache: prefix
+            # bounding applies there too (ADVICE r3 item 2)
+            host_blk = resolve_attn_block(self.attn_block, cfg.max_seq_len)
+
             def step_fn(params, tokens, mask, caches, pos):
                 last_h, caches = unified.decode_hidden(
-                    params, cfg, tokens, mask, caches, pos
+                    params, cfg, tokens, mask, caches, pos,
+                    attn_block=host_blk,
                 )
                 return gpt.lm_head(params["backbone"], last_h, cfg.backbone), caches
 

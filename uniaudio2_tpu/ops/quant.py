@@ -1204,40 +1204,61 @@ _GPT_QUANT_LEAVES = (
 )
 
 
-_quantize_jit = jax.jit(quantize, donate_argnums=(0,))
-_quantize4_jit = jax.jit(quantize4, donate_argnums=(0,))
-_quantize4c_jit = jax.jit(quantize4_cols, donate_argnums=(0,))
-_quantize4g_jit = jax.jit(quantize4_grouped, donate_argnums=(0,),
-                          static_argnums=(1,))
-_quantize4cg_jit = jax.jit(quantize4_cols_grouped, donate_argnums=(0,),
-                           static_argnums=(1,))
+_quantize_jit = jax.jit(quantize)
+_quantize4_jit = jax.jit(quantize4)
+_quantize4c_jit = jax.jit(quantize4_cols)
+_quantize4g_jit = jax.jit(quantize4_grouped, static_argnums=(1,))
+_quantize4cg_jit = jax.jit(quantize4_cols_grouped, static_argnums=(1,))
+
+
+def _free(w) -> None:
+    """Free a source HBM buffer right after its quantized copy is
+    dispatched. Buffer donation can never alias here (bf16 in, int8/int4 +
+    f32 scales out: different dtypes and byte sizes), so `donate_argnums`
+    only produced "donated buffers were not usable" warnings that drowned
+    out real donation regressions (VERDICT r3 item 9); an explicit
+    `.delete()` gives the same sequential memory profile silently. The
+    runtime holds its own reference while the quantize step is in flight,
+    so deleting immediately after dispatch is safe."""
+    if isinstance(w, jax.Array):
+        w.delete()
 
 
 def _q(w, donate: bool, bits=8, cols: bool = False):
     """Quantize one leaf; with ``donate`` the source HBM buffer is freed as
-    part of the same compiled step (big models don't fit twice). ``bits``
-    is 8, 4 (per-channel scales) or "4g" (group-wise scales — better
-    accuracy, ~11% slower; both int4 forms route through the fused
+    soon as the quantized copy is dispatched (big models don't fit twice).
+    ``bits`` is 8, 4 (per-channel scales) or "4g" (group-wise scales —
+    better accuracy, ~11% slower; both int4 forms route through the fused
     SwiGLU kernel via column-packed down-projections)."""
     if bits == "4g":
         if cols:
             if w.shape[-2] % INT4_GROUP:
                 bits = 4
             else:
-                return _quantize4cg_jit(w, INT4_GROUP) if donate \
+                out = _quantize4cg_jit(w, INT4_GROUP) if donate \
                     else quantize4_cols_grouped(w)
+                if donate:
+                    _free(w)
+                return out
         elif w.shape[-2] % (2 * INT4_GROUP):
             bits = 4  # K not group-divisible: per-channel int4
         else:
-            return _quantize4g_jit(w, INT4_GROUP) if donate \
+            out = _quantize4g_jit(w, INT4_GROUP) if donate \
                 else quantize4_grouped(w)
+            if donate:
+                _free(w)
+            return out
     if bits == 4 and cols:
-        return _quantize4c_jit(w) if donate else quantize4_cols(w)
-    if bits == 4:
-        return _quantize4_jit(w) if donate else quantize4(w)
+        out = _quantize4c_jit(w) if donate else quantize4_cols(w)
+    elif bits == 4:
+        out = _quantize4_jit(w) if donate else quantize4(w)
+    elif donate:
+        out = _quantize_jit(w)
+    else:
+        out = quantize(w)
     if donate:
-        return _quantize_jit(w)
-    return quantize(w)
+        _free(w)
+    return out
 
 
 def quantize_gpt_params(params, *, donate: bool = False, bits=8,

@@ -62,6 +62,13 @@ def get_parser() -> argparse.ArgumentParser:
                    action="store_false", default=True,
                    help="dense-logits CE (the chunked logit-free CE is "
                         "the default — train/chunked_ce.py)")
+    p.add_argument("--optimizer", type=str, default="adamw",
+                   choices=["adamw", "adamw_lean", "adafactor"],
+                   help="adamw_lean (train/lean_opt.py): int8 first moment "
+                        "+ factored second moment at ~1 byte/param state — "
+                        "the single-chip-memory configuration "
+                        "(docs/bench_train_r4.md); adamw is the sharded-"
+                        "path default")
     p.add_argument("--mixed-precision", dest="precision", type=str,
                    default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--print_freq", type=int, default=100)
@@ -131,7 +138,7 @@ def main(argv: Optional[list] = None) -> None:
     tx = trainer.make_optimizer(
         schedule.warmup_lr(args.learning_rate, args.warmup_steps),
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
-        accum_steps=args.grad_accum,
+        accum_steps=args.grad_accum, optimizer=args.optimizer,
     )
     state = trainer.init_train_state(params, tx)
     reporter = Reporter(

@@ -60,14 +60,25 @@ def make_optimizer(
     """AdamW + global-norm clipping (+ optional gradient accumulation),
     matching the reference's training knobs (`arguments.py:56-68`).
 
-    ``optimizer="adafactor"`` swaps in factored second moments: per-param
-    optimizer state shrinks from 2 full moments to row/column statistics,
-    which is what makes SINGLE-chip training of this model fit at all —
-    with AdamW the bf16 param+grad+2-moment floor of the non-backbone
-    parameters alone (embedding/audio tables ≈ 2 B params) exceeds a
-    16 GiB chip; the sharded (FSDP) path is the AdamW-parity mode
-    (scripts/check_multichip_compile.py)."""
-    if optimizer == "adafactor":
+    ``optimizer="adamw_lean"`` (train/lean_opt.py) keeps AdamW's update
+    shape at ~5 bytes/param state+grad (int8 block-quantized first moment,
+    factored second moment, leaf-serialized update) — the configuration
+    that fits a >=8-layer-backbone geometry on ONE 16 GiB chip
+    (docs/bench_train_r4.md). ``optimizer="adafactor"`` (optax) also
+    shrinks state but its update materialises f32 temporaries for every
+    parameter at once and OOMs at depth (docs/bench_train_r3.md:66-70);
+    with plain AdamW the bf16 param+grad+2-moment floor of the
+    non-backbone parameters alone (embedding/audio tables ≈ 2 B params)
+    exceeds a 16 GiB chip. The sharded (FSDP) path is the AdamW-parity
+    mode (scripts/check_multichip_compile.py)."""
+    if optimizer == "adamw_lean":
+        from uniaudio2_tpu.train.lean_opt import adamw_lean
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            adamw_lean(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+        )
+    elif optimizer == "adafactor":
         tx = optax.chain(
             optax.clip_by_global_norm(grad_clip),
             optax.adafactor(schedule, decay_rate=b2,
