@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=2, help="traced steps")
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--audio-capacity", type=int, default=None)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=("adamw", "adafactor", "adamw_lean"))
     args = p.parse_args(argv)
 
     import jax
@@ -63,7 +65,8 @@ def main(argv=None):
     params = unified.init_params(jax.random.PRNGKey(0), cfg,
                                  dtype=jnp.bfloat16)
     tx = trainer.make_optimizer(
-        schedule.warmup_lr(1e-4, warmup_steps=2000), grad_clip=1.0)
+        schedule.warmup_lr(1e-4, warmup_steps=2000), grad_clip=1.0,
+        optimizer=args.optimizer)
     state = trainer.init_train_state(params, tx)
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=True,

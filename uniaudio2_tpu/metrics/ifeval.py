@@ -49,6 +49,67 @@ def _rel(count: int, relation: str, threshold: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+# Language detection (for language:response_language and the English
+# checks in change_case:english_*). The reference uses the `langdetect`
+# package (instructions.py:112-165), which is not available in this
+# environment; this is a dependency-free detector: script-distinct
+# languages (zh/ja/ko/ru/ar/he/hi/th/el) are identified exactly by Unicode
+# ranges, and major Latin-script languages by diacritic + stopword
+# profiles. Returns an ISO 639-1 code or None when undecidable (the
+# reference counts detection failure as instruction-followed).
+
+_SCRIPT_RANGES = (
+    ("zh", 0x4E00, 0x9FFF), ("ja", 0x3040, 0x30FF),
+    ("ko", 0xAC00, 0xD7AF), ("ko", 0x1100, 0x11FF),
+    ("ru", 0x0400, 0x04FF), ("ar", 0x0600, 0x06FF),
+    ("he", 0x0590, 0x05FF), ("hi", 0x0900, 0x097F),
+    ("th", 0x0E00, 0x0E7F), ("el", 0x0370, 0x03FF),
+)
+
+_LATIN_STOPWORDS = {
+    "en": {"the", "and", "is", "of", "to", "in", "that", "it", "you",
+           "for", "with", "was", "are", "this", "not", "have", "be"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une",
+           "que", "pas", "vous", "je", "dans", "pour", "ce", "il"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "zu", "ich", "sie", "mit", "auf", "für", "den", "von"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una",
+           "que", "no", "en", "por", "para", "con", "se", "del"},
+    "it": {"il", "la", "le", "di", "e", "è", "un", "una", "che",
+           "non", "per", "con", "si", "del", "della", "sono"},
+    "pt": {"o", "a", "os", "as", "de", "e", "é", "um", "uma", "que",
+           "não", "em", "por", "para", "com", "se", "do", "da"},
+}
+
+
+def detect_language(text: str) -> Optional[str]:
+    """Best-effort ISO 639-1 language id (see module comment above)."""
+    counts: Dict[str, int] = {}
+    letters = 0
+    for ch in text:
+        if ch.isalpha():
+            letters += 1
+        cp = ord(ch)
+        for lang, lo, hi in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                counts[lang] = counts.get(lang, 0) + 1
+    if counts:
+        lang, n = max(counts.items(), key=lambda kv: kv[1])
+        # kana implies Japanese even with many Han characters
+        if lang == "zh" and counts.get("ja", 0) > 0:
+            lang = "ja"
+        if n >= max(1, letters // 4):
+            return lang
+    words = set(_words(text))
+    if not words:
+        return None
+    scores = {lang: len(words & sw) for lang, sw in _LATIN_STOPWORDS.items()}
+    best = max(scores.items(), key=lambda kv: kv[1])
+    if best[1] == 0:
+        return "en" if letters else None   # Latin text, no profile hit
+    return best[0]
+
+
 def keywords_existence(resp, keywords=(), **_):
     low = resp.lower()
     return all(k.lower() in low for k in keywords)
@@ -111,11 +172,23 @@ def format_multiple_sections(resp, section_spliter="Section", num_sections=0, **
 
 
 def case_all_lowercase(resp, **_):
-    return resp == resp.lower()
+    """All-lowercase AND detected-English (`LowercaseLettersEnglishChecker`,
+    instructions.py:1424-1453; detection failure counts as followed,
+    matching its LangDetectException branch). `str.islower()` semantics:
+    needs at least one cased character."""
+    lang = detect_language(resp)
+    if lang is None:
+        return True
+    return resp.islower() and lang == "en"
 
 
 def case_all_capital(resp, **_):
-    return resp == resp.upper()
+    """All-caps AND detected-English (`CapitalLettersEnglishChecker`,
+    instructions.py:1393-1421; see `case_all_lowercase`)."""
+    lang = detect_language(resp)
+    if lang is None:
+        return True
+    return resp.isupper() and lang == "en"
 
 
 def case_capital_word_frequency(resp, capital_frequency=0,
@@ -156,6 +229,90 @@ def combination_two_responses(resp, **_):
     return "******" in resp
 
 
+def language_response_language(resp, language="en", **_):
+    """Entire response in one language (`ResponseLanguageChecker`,
+    reference instructions.py:112-165). Detection failure counts as
+    followed, matching the reference's LangDetectException branch."""
+    detected = detect_language(resp)
+    return detected is None or detected == language
+
+
+def format_constrained_response(resp, **_):
+    """One of the three fixed options must appear
+    (`ConstrainedResponseChecker`, instructions.py:328-364; options at
+    instructions.py:46-47)."""
+    value = resp.strip()
+    return any(opt in value for opt in (
+        "My answer is yes.", "My answer is no.", "My answer is maybe."))
+
+
+def multiturn_constrained_start(resp, starter="", **_):
+    """Some line starts with the required phrase (`ConstrainedStartChecker`,
+    instructions.py:365-409; registered commented-out upstream as
+    multi-turn:constrained_start)."""
+    return re.search(r"^\s*" + re.escape(starter.strip()) + r".*$",
+                     resp, flags=re.MULTILINE) is not None
+
+
+def length_nth_paragraph_first_word(resp, num_paragraphs=0,
+                                    nth_paragraph=1, first_word="", **_):
+    """Paragraph count + first word of the nth paragraph
+    (`ParagraphFirstWordCheck`, instructions.py:907-1010). Matches the
+    reference exactly: paragraphs split on bare "\\n\\n", empty ones are
+    discounted from the COUNT but not the INDEX, the first word strips
+    leading quotes and stops at punctuation."""
+    paragraphs = re.split(r"\n\n", resp)
+    count = sum(1 for p in paragraphs if p.strip())
+    if nth_paragraph > len(paragraphs):
+        return False
+    paragraph = paragraphs[nth_paragraph - 1].strip()
+    if not paragraph:
+        return False
+    word = paragraph.split()[0].strip().lstrip("'").lstrip('"')
+    got = ""
+    for letter in word:
+        if letter in {".", ",", "?", "!", "'", '"'}:
+            break
+        got += letter.lower()
+    return count == num_paragraphs and got == first_word.lower()
+
+
+def keywords_key_sentences(resp, key_sentences=(), num_sentences=0, **_):
+    """Exactly N of the key sentences appear as whole sentences
+    (`KeySentenceChecker`, instructions.py:1013-1068; registered
+    commented-out upstream as keywords:key_sentences)."""
+    sentences = _sentences(resp)
+    count = sum(1 for s in key_sentences if s in sentences)
+    return count == num_sentences
+
+
+def format_rephrase(resp, original_message="", **_):
+    """Response differs from the original only inside *...* spans
+    (`RephraseChecker`, instructions.py:638-701; registered commented-out
+    upstream as detectable_format:rephrase). The reference RAISES when
+    either side lacks a *...* span; a checker returning False is the
+    usable behavior."""
+    if not re.search(r"\*.*\*", resp) or not re.search(
+            r"\*.*\*", original_message):
+        return False
+    strip = lambda s: re.sub(r"\*.*\*", "", s)  # noqa: E731
+    return strip(resp) == strip(original_message)
+
+
+def content_rephrase_paragraph(resp, original_paragraph="", low=0,
+                               high=10**9, **_):
+    """Rephrase with between low and high words in common (multiset
+    intersection, case-insensitive — `RephraseParagraph`,
+    instructions.py:1114-1169; registered commented-out upstream as
+    detectable_content:rephrase_paragraph)."""
+    from collections import Counter
+
+    val = Counter(re.findall(r"\w+", resp.lower()))
+    orig = Counter(re.findall(r"\w+", original_paragraph.lower()))
+    similar = sum(min(orig[w], val[w]) for w in orig)
+    return low <= similar <= high
+
+
 CHECKERS: Dict[str, Callable[..., bool]] = {
     "keywords:existence": keywords_existence,
     "keywords:forbidden_words": keywords_forbidden,
@@ -180,6 +337,18 @@ CHECKERS: Dict[str, Callable[..., bool]] = {
     "punctuation:no_comma": punctuation_no_comma,
     "combination:repeat_prompt": combination_repeat_prompt,
     "combination:two_responses": combination_two_responses,
+    "language:response_language": language_response_language,
+    "detectable_format:constrained_response": format_constrained_response,
+    "length_constraints:nth_paragraph_first_word":
+        length_nth_paragraph_first_word,
+    # the four below exist as checkers in the reference's instructions.py
+    # but are commented out of its live registry
+    # (instructions_registry.py:43,55,61,65); registered here under their
+    # upstream ids so datasets that use them still score
+    "multi-turn:constrained_start": multiturn_constrained_start,
+    "keywords:key_sentences": keywords_key_sentences,
+    "detectable_format:rephrase": format_rephrase,
+    "detectable_content:rephrase_paragraph": content_rephrase_paragraph,
 }
 
 
