@@ -231,3 +231,31 @@ def test_resolve_attn_block_policy():
     assert resolve_attn_block(None, 256) == 0
     assert resolve_attn_block(0, 2048) == 0      # explicit off wins
     assert resolve_attn_block(64, 256) == 64     # explicit block wins
+
+
+def test_step_online_and_timings(setup):
+    """Online serving API: step_online admits + decodes one segment per
+    call, returns completions, and records the wall-clock lifecycle
+    (submitted/first/done/frames) used by the latency bench."""
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 3)
+    expected = [ref.generate_text(g, m, topk=1) for g, m in reqs]
+
+    ce = ContinuousEngine(
+        params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+        cache_len=256, max_frames=8, topk=1, cache_dtype=jnp.float32,
+    )
+    assert ce.step_online() == {}        # idle: no device work
+    rids = [ce.submit(g, m) for g, m in reqs]
+    results = {}
+    for _ in range(50):
+        results.update(ce.step_online())
+        if len(results) == 3:
+            break
+    assert set(results) == set(rids)
+    for rid, exp in zip(rids, expected):
+        np.testing.assert_array_equal(results[rid], exp)
+    for rid in rids:
+        t = ce.timings[rid]
+        assert t["submitted"] <= t["first"] <= t["done"]
+        assert t["frames"] >= 1

@@ -14,18 +14,24 @@ from uniaudio2_tpu.train import lean_opt, schedule, trainer
 
 
 def test_int8_moment_roundtrip_error_bounded():
+    """Blocks are layout-aligned: M_BLOCK-wide along the last axis when
+    divisible, one scale per last-axis row otherwise (no pads/copies —
+    the padded-flat-view variant cost ~200 ms/step, docs r4)."""
     rng = np.random.default_rng(0)
-    for shape in [(7,), (300,), (12, 47), (3, 130, 9)]:
+    for shape in [(7,), (512,), (12, 47), (3, 130, 512), (5, 300)]:
         m = jnp.asarray(rng.standard_normal(shape) * 0.01, jnp.float32)
         q, scale = lean_opt._quant_m(m)
         out = lean_opt._dequant_m(q, scale)
-        # absmax/127 per 256-block: error <= half a quantization step
-        blocks = np.pad(np.asarray(m).reshape(-1),
-                        (0, scale.shape[0] * lean_opt.M_BLOCK - m.size))
-        bmax = np.abs(blocks.reshape(-1, lean_opt.M_BLOCK)).max(1)
-        step = np.repeat(bmax / 127.0, lean_opt.M_BLOCK)[: m.size]
-        err = np.abs(np.asarray(out - m)).reshape(-1)
+        mn = np.asarray(m)
+        if shape[-1] % lean_opt.M_BLOCK == 0:
+            blocks = mn.reshape(shape[:-1] + (-1, lean_opt.M_BLOCK))
+            step = np.abs(blocks).max(-1, keepdims=True) / 127.0
+            err = np.abs(np.asarray(out).reshape(blocks.shape) - blocks)
+        else:
+            step = np.abs(mn).max(-1, keepdims=True) / 127.0
+            err = np.abs(np.asarray(out) - mn)
         assert (err <= step * 0.5 + 1e-12).all()
+        assert scale.shape == (np.asarray(scale)).shape
 
 
 def test_factored_v_exact_on_rank1():

@@ -43,6 +43,7 @@ together. Sampling parameters are per-engine, like one compiled program
 from __future__ import annotations
 
 import queue
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, NamedTuple, Optional
 
@@ -474,6 +475,11 @@ class ContinuousEngine:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots = [_Slot() for _ in range(rows // self._pair)]
         self._results: Dict[int, Any] = {}
+        # wall-clock request lifecycle (online-serving latency accounting):
+        # rid -> {submitted, first, done, frames}; "first" is stamped when
+        # the request's first frame becomes host-visible (segment/drain
+        # boundary — that IS the user-visible TTFT of this architecture)
+        self.timings: Dict[int, Dict[str, float]] = {}
         self._next_rid = 0
         # same auto policy as DecodeEngine (r4 A/B table,
         # docs/profile_decode_r4.md); resolved against this engine's
@@ -548,6 +554,7 @@ class ContinuousEngine:
             f"({self.cache_len - 1 - self.bucket} frames after the bucket)")
         rid = self._next_rid
         self._next_rid += 1
+        self.timings[rid] = {"submitted": time.monotonic()}
         self._queue.put(_Request(
             rid, np.asarray(grid), np.asarray(mask), mf,
             None if neg_grid is None else np.asarray(neg_grid),
@@ -681,6 +688,30 @@ class ContinuousEngine:
         finally:
             self._slots[0] = _Slot()
 
+    def step_online(self) -> Dict[int, Any]:
+        """One ONLINE scheduling iteration: admit whatever is admissible
+        from the queue, run one segment if there is any work, and return
+        the requests completed by it ({rid: result}). Returns {} without
+        touching the device when idle (the caller decides to sleep until
+        the next arrival). Wall-clock lifecycle per request is recorded in
+        `self.timings` (submitted/first/done/frames) — the data source for
+        TTFT/TPOT serving benchmarks (`scripts/bench_serving_latency.py`).
+        """
+        refills = self._gather_refills()
+        busy = any(s.request_id >= 0 for s in self._slots)
+        if not refills and not busy:
+            if self._queue.empty():
+                return {}
+            # queued work exists but is not admissible at this position
+            # (cache budget spent): reset the window and retry next call
+            self._state = self._fresh_state(self._cache_dtype)
+            self._pos_host = self.bucket
+            self.stats["resets"] += 1
+            return {}
+        self._run_segment(refills)
+        done, self._results = self._results, {}
+        return done
+
     def run_until_drained(self) -> Dict[int, Any]:
         """Process queue + in-flight work to completion; return results:
         mode=text -> 1-D token array per request id; mode=audio ->
@@ -766,23 +797,37 @@ class ContinuousEngine:
 
     def _harvest(self, slab: np.ndarray):
         ncb = self.cfg.tokens.num_codebooks
+        now = time.monotonic()
         for u, slot in enumerate(self._slots):
             if slot.request_id < 0:
                 continue
             r = u * self._pair      # CFG reads the cond row of the pair
+            had_frames = len(slot.text)
             for kf in range(slab.shape[1]):
                 slot.text.append(int(slab[r, kf, 0]))
                 slot.audio.append(slab[r, kf, 1 : 1 + ncb])
                 slot.phase.append(int(slab[r, kf, 1 + ncb]))
                 if slab[r, kf, 2 + ncb]:
+                    self._stamp(slot, had_frames, now)
                     self._finalize(u)
                     break
             else:
+                self._stamp(slot, had_frames, now)
                 if len(slot.text) >= slot.max_frames:
                     self._finalize(u)
 
+    def _stamp(self, slot: _Slot, had_frames: int, now: float) -> None:
+        t = self.timings.get(slot.request_id)
+        if t is not None and had_frames == 0 and slot.text:
+            t.setdefault("first", now)
+
     def _finalize(self, r: int):
         slot = self._slots[r]
+        t = self.timings.get(slot.request_id)
+        if t is not None:
+            t["done"] = time.monotonic()
+            t["frames"] = min(len(slot.phase),
+                              slot.max_frames or self.max_frames)
         mf = slot.max_frames or self.max_frames
         slot.text = slot.text[:mf]
         slot.audio = slot.audio[:mf]
