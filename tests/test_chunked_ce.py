@@ -192,3 +192,38 @@ def test_train_step_audio_capacity_matches_dense():
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b_, np.float32),
                                        rtol=2e-4, atol=2e-5)
+
+
+def test_audio_capacity_dropped_metric():
+    """An undersized --audio-capacity silently drops audio-loss steps from
+    BOTH the loss numerator and denominator, so the loss value alone looks
+    normal; the `audio_dropped` metric surfaces it (ADVICE r3 item 1)."""
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.models import unified
+    from uniaudio2_tpu.train import schedule, trainer
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    tx = trainer.make_optimizer(schedule.warmup_lr(1e-3, warmup_steps=10))
+    b, s = 2, 10
+    par = cfg.tokens.parallel_number
+    ncb = cfg.tokens.num_codebooks
+    r = np.random.default_rng(5)
+    grid = jnp.asarray(r.integers(0, 30, size=(b, s + 1, par)), jnp.int32)
+    gmask = np.zeros((b, s + 1, par), bool)
+    gmask[:, : s // 2, -1] = True
+    gmask[:, s // 2:, :ncb] = True
+    tmask = np.zeros((b, s), bool); tmask[:, 1: s // 2] = True
+    amask = np.zeros((b, s), bool)
+    amask[0, s // 2: s - 1] = True   # 4 audio steps
+    amask[1, s // 2: s - 3] = True   # 2 audio steps
+    batch = trainer.Batch(grid=grid, grid_mask=jnp.asarray(gmask),
+                          text_loss_mask=jnp.asarray(tmask),
+                          audio_loss_mask=jnp.asarray(amask))
+
+    for cap, want in ((4, 0), (3, 1), (2, 2)):
+        state = trainer.init_train_state(params, tx)
+        step = jax.jit(trainer.build_train_step(
+            cfg, tx, prefix_lm=True, remat=True, audio_capacity=cap))
+        _, metrics = step(state, batch)
+        assert int(metrics["audio_dropped"]) == want, cap

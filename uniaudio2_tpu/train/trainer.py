@@ -164,6 +164,7 @@ def loss_fn(
         extra_mask = prefix_lm_mask(seg, prefix_lm=True)
     if chunked_ce and cfg.backbone.final_logit_softcapping is None:
         a_labels, a_mask, dec_pos = audio_labels, batch.audio_loss_mask, None
+        dropped = None
         if audio_capacity is not None:
             # run the local decoder + audio CE only on (up to C) audio rows
             dec_pos, valid = audio_gather_indices(
@@ -171,16 +172,26 @@ def loss_fn(
             a_labels = jnp.take_along_axis(
                 audio_labels, dec_pos[:, :, None], axis=1)
             a_mask = valid
+            # audio-loss steps silently dropped by an undersized capacity:
+            # rows with more audio steps than C lose the tail from BOTH the
+            # loss numerator and denominator, so the loss value alone cannot
+            # reveal the misconfiguration — surface it as a metric
+            # (ADVICE r3 item 1).
+            count = batch.audio_loss_mask.sum(axis=1, dtype=jnp.int32)
+            dropped = jnp.maximum(count - audio_capacity, 0).sum()
         h_final, dec_h = unified.forward(
             params, cfg, tokens, audio_labels, batch.grid_mask,
             extra_mask=extra_mask, return_hidden=True, remat_layers=remat,
             decoder_positions=dec_pos,
         )
-        return losses.unified_loss_fused(
+        loss, metrics = losses.unified_loss_fused(
             h_final, params["backbone"]["lm_head_w"], dec_h,
             params["audio_head"], text_labels, a_labels,
             batch.text_loss_mask, a_mask, residual_weights,
         )
+        if dropped is not None:
+            metrics["audio_dropped"] = dropped
+        return loss, metrics
     text_logits, audio_logits = unified.forward(
         params, cfg, tokens, audio_labels, batch.grid_mask,
         extra_mask=extra_mask,
