@@ -192,7 +192,14 @@ def adamw_lean(
             m_q, m_scale = _quant_m(m)
             new_updates.append(upd)
             new_states.append(_LeafState(m_q=m_q, m_scale=m_scale, v=v))
-            token = upd
+            # Serialization token: anything small computed AFTER this leaf's
+            # f32 temporaries. Using `upd` itself (the first version) forced
+            # every leaf's full update buffer to materialise as a fusion
+            # output just to feed the next barrier — a traced r4 cost of
+            # ~2x the param bytes in paired (update, new_param) weight-shaped
+            # buffers. `m_scale` is ~1/256 the size and carries the same
+            # transitive dependency (it is computed from this leaf's m).
+            token = m_scale
         return (
             jax.tree.unflatten(treedef, new_updates),
             AdamWLeanState(count=count,
