@@ -61,6 +61,33 @@ def main():
     engine = DecodeEngine(params, cfg, max_frames=FRAMES, buckets=(64,),
                           approx_topk=os.environ.get("UA2_BENCH_APPROX", "1") != "0")
 
+    task = os.environ.get("UA2_PROFILE_TASK", "tts")
+    if task == "asr":
+        # text-mode frame loop (ASR): audio-token prompt, no local decoder
+        rng = np.random.default_rng(0)
+        grid, mask = taskmod.prepare_asr(
+            np.arange(1, 12, dtype=np.int64) % 100,
+            rng.integers(0, 100, (10, 8)), rng.integers(0, 200, (24, 8)),
+            cfg.tokens,
+        )
+
+        def run(seed):
+            return engine.generate_text(grid, mask, temperature=0.9,
+                                        topk=50, seed=seed)
+
+        run(0)
+        os.makedirs(TRACE_DIR, exist_ok=True)
+        with jax.profiler.trace(TRACE_DIR):
+            out = run(1)
+            np.asarray(out)
+        files = sorted(glob.glob(
+            os.path.join(TRACE_DIR, "**", "*.trace.json.gz"), recursive=True),
+            key=os.path.getmtime)
+        if not files:
+            print("no trace file found under", TRACE_DIR)
+            return 1
+        return parse(files[-1])
+
     prompt = np.arange(1, 24, dtype=np.int64) % 100
     text = np.arange(5, 17, dtype=np.int64) % 100
     grid, mask = taskmod.prepare_tts(prompt, text, cfg.tokens)
