@@ -36,6 +36,25 @@ from uniaudio2_tpu.config import UnifiedModelConfig
 from uniaudio2_tpu.models import gpt, unified
 from uniaudio2_tpu.models.unified import UnifiedCaches
 
+
+def _serving_jit(fn):
+    """`jax.jit` with XLA compiler options from ``UA2_XLA_OPTS``
+    ("k=v,k2=v2"). Needed because backend-plugin flags (e.g. the
+    `xla_tpu_copy_elision_analysis_allowance` copy-insertion cap probed
+    in docs/profile_decode_r4.md §3) are rejected by the LOCAL
+    ``XLA_FLAGS`` parser under the remote-TPU tunnel — per-jit
+    compiler_options travel with the compile request and are validated
+    by the backend that owns them."""
+    opts = os.environ.get("UA2_XLA_OPTS", "")
+    if not opts:
+        return jax.jit(fn)
+    parsed: Dict[str, Any] = {}
+    for kv in opts.split(","):
+        k, _, v = kv.partition("=")
+        parsed[k.strip()] = {"true": True, "false": False}.get(
+            v.strip().lower(), v.strip())
+    return jax.jit(fn, compiler_options=parsed)
+
 Params = Dict[str, Any]
 
 # Prompt bucket lengths: one XLA program per bucket, reused across calls.
@@ -521,7 +540,7 @@ class DecodeEngine:
                 cache_lists=self._cache_lists,
                 attn_block=self.attn_block,
             )
-            self._compiled[key] = jax.jit(fn)
+            self._compiled[key] = _serving_jit(fn)
         return self._compiled[key]
 
     def _pad_grid(
@@ -598,7 +617,7 @@ class DecodeEngine:
                 cache_lists=self._cache_lists,
                 attn_block=self.attn_block,
             )
-            self._compiled[key] = jax.jit(fn)
+            self._compiled[key] = _serving_jit(fn)
         return self._compiled[key]
 
     def _pack_left(self, items):
@@ -758,7 +777,8 @@ class DecodeEngine:
                 )
 
             self._compiled[key] = (
-                jax.jit(prefill_fn), jax.jit(step_fn), jax.jit(reorder_fn)
+                _serving_jit(prefill_fn), _serving_jit(step_fn),
+                _serving_jit(reorder_fn)
             )
         return self._compiled[key]
 
