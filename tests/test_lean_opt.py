@@ -108,6 +108,96 @@ def test_state_bytes_lean():
     assert per_param < 1.3, per_param
 
 
+@pytest.mark.parametrize("shape", [(48, 256), (2, 24, 512), (16, 1024)])
+def test_fused_update_matches_xla_path(shape):
+    """The Pallas fused per-leaf update (`ops/lean_update.py`, interpret
+    mode on CPU) must match the XLA per-leaf chain: same updates (float
+    tolerance — the kernel reassociates the rsqrt factors as a_i*b_j),
+    same factored v, and a first moment equal within one int8 quant step
+    (rounding boundaries may flip under reassociation)."""
+    rng = np.random.default_rng(3)
+    params = {"w": jnp.asarray(rng.standard_normal(shape) * 0.1,
+                               jnp.float32)}
+
+    def run(fused):
+        tx = lean_opt.adamw_lean(1e-2, b1=0.9, b2=0.95,
+                                 weight_decay=0.01, fused=fused)
+        st = tx.init(params)
+        p = params
+        outs = []
+        for i in range(3):
+            g = {"w": jnp.asarray(rng2.standard_normal(shape) * 0.05,
+                                  jnp.float32)}
+            upd, st = tx.update(g, st, p)
+            p = optax.apply_updates(p, upd)
+            outs.append(upd["w"])
+        return outs, p, st
+
+    rng2 = np.random.default_rng(7)
+    upd_f, p_f, st_f = run("on")
+    rng2 = np.random.default_rng(7)
+    upd_x, p_x, st_x = run("off")
+
+    for uf, ux in zip(upd_f, upd_x):
+        np.testing.assert_allclose(np.asarray(uf), np.asarray(ux),
+                                   rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p_f["w"]), np.asarray(p_x["w"]),
+                               rtol=2e-5, atol=1e-7)
+    leaf_f = jax.tree.leaves(st_f, is_leaf=lambda x: isinstance(
+        x, lean_opt._LeafState))
+    leaf_x = jax.tree.leaves(st_x, is_leaf=lambda x: isinstance(
+        x, lean_opt._LeafState))
+    sf = [l for l in leaf_f if isinstance(l, lean_opt._LeafState)][0]
+    sx = [l for l in leaf_x if isinstance(l, lean_opt._LeafState)][0]
+    np.testing.assert_allclose(np.asarray(sf.v.row), np.asarray(sx.v.row),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sf.v.col), np.asarray(sx.v.col),
+                               rtol=1e-6)
+    mf = np.asarray(lean_opt._dequant_m(sf.m_q, sf.m_scale))
+    mx = np.asarray(lean_opt._dequant_m(sx.m_q, sx.m_scale))
+    step = np.abs(mx).max() / 127.0
+    assert np.abs(mf - mx).max() <= step * 1.01 + 1e-12
+
+
+def test_fused_tile_sizes():
+    from uniaudio2_tpu.ops import lean_update
+    assert lean_update.tile_sizes(3072, 8192) is not None
+    assert lean_update.tile_sizes(98400, 3072) is not None
+    assert lean_update.tile_sizes(2048, 12300) is None  # audio-head leaf
+    for r, c in [(3072, 8192), (98400, 3072), (32256, 3072), (24, 512)]:
+        tr, tc = lean_update.tile_sizes(r, c)
+        # blocks span full rows (Mosaic full-lane rule, module docstring)
+        assert tc == c and r % tr == 0
+        assert tr == r or (tr * tc <= lean_update._TILE_ELEMS
+                           and tr % 8 == 0)
+
+
+def test_fused_convex_tracking():
+    """fused adamw_lean optimizes the same quadratic to the same optimum
+    (end-to-end through optax composition)."""
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((20, 16)), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((20, 256)), jnp.float32)
+
+    def loss(w):
+        return jnp.mean((a @ w - target) ** 2)
+
+    def run(tx, steps=150):
+        w = jnp.zeros((16, 256), jnp.float32)
+        st = tx.init(w)
+        for _ in range(steps):
+            g = jax.grad(loss)(w)
+            upd, st = tx.update(g, st, w)
+            w = optax.apply_updates(w, upd)
+        return float(loss(w))
+
+    base = float(loss(jnp.zeros((16, 256))))
+    lean = run(lean_opt.adamw_lean(3e-2, weight_decay=0.0, fused="on"))
+    ref = run(lean_opt.adamw_lean(3e-2, weight_decay=0.0, fused="off"))
+    assert lean < 0.5 * base
+    assert abs(lean - ref) < 0.01 * base
+
+
 def test_unified_train_step_with_lean_opt():
     from uniaudio2_tpu.config import UnifiedModelConfig
     from uniaudio2_tpu.models import unified

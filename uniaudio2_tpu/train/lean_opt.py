@@ -139,6 +139,25 @@ def _v_rsqrt(v, bias_corr: jax.Array, eps: float) -> jax.Array:
     return 1.0 / (jnp.sqrt(v / bias_corr) + eps)
 
 
+def _resolve_fused(fused) -> Tuple[bool, bool]:
+    """(use_fused, interpret). ``fused``: "auto" (on for TPU-class
+    backends, off on CPU), "on"/"off", or None (= env UA2_LEAN_FUSED with
+    "auto" default). The fused kernel is a single-device op — multi-chip
+    sharded training must pass "off" (train.py does; the XLA SPMD
+    partitioner cannot shard a pallas_call and would replicate the
+    leaf)."""
+    if fused is None:
+        import os
+        fused = {"0": "off", "1": "on"}.get(
+            os.environ.get("UA2_LEAN_FUSED", "auto"), "auto")
+    if fused == "off":
+        return False, False
+    cpu = jax.default_backend() == "cpu"
+    if fused == "on":
+        return True, cpu  # interpret-mode pallas on CPU (tests)
+    return (not cpu), False
+
+
 def adamw_lean(
     learning_rate: optax.ScalarOrSchedule,
     *,
@@ -146,11 +165,18 @@ def adamw_lean(
     b2: float = 0.95,
     eps: float = 1e-8,
     weight_decay: float = 0.01,
+    fused: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """AdamW with int8 first moment + factored second moment (~1 byte of
     optimizer state per parameter). Composes like any optax transform
     (pairs with `clip_by_global_norm` / `MultiSteps` in
-    `trainer.make_optimizer`)."""
+    `trainer.make_optimizer`).
+
+    ``fused`` selects the Pallas fused per-leaf update
+    (`ops/lean_update.py`) for rank>=2 block-divisible leaves — one
+    VMEM-resident pass instead of the XLA quant/dequant chains that
+    materialise f32 leaf copies (measured +113 ms/step at the r4 bench
+    geometry, docs/bench_train_r4.md). See `_resolve_fused`."""
 
     def init_fn(params):
         def leaf(p):
@@ -177,12 +203,32 @@ def adamw_lean(
 
         import os
         barrier = os.environ.get("UA2_LEAN_BARRIER", "1") != "0"
+        use_fused, interpret = _resolve_fused(fused)
+        if use_fused:
+            from uniaudio2_tpu.ops import lean_update as _lu
         new_updates, new_states = [], []
         token = None
         for g, s, p in zip(flat_g, flat_s, flat_p):
             if token is not None and barrier:
                 # serialize leaf updates: peak temp = one leaf's f32 set
                 g = jax.lax.optimization_barrier((g, token))[0]
+            if (use_fused and isinstance(s.v, _FactoredV)
+                    and _m_blocks(p.shape) is not None
+                    and _lu.tile_sizes(p.shape[-2], p.shape[-1])):
+                gf = g.astype(jnp.float32)
+                v = _v_update(s.v, jnp.square(gf), b2)
+                rm = jnp.maximum(
+                    jnp.mean(v.row, axis=-1, keepdims=True), 1e-30)
+                a_row = jnp.sqrt(v.row / (rm * vc))
+                b_col = jnp.sqrt(v.col)
+                upd, m_q, m_scale = _lu.fused_lean_update(
+                    g, s.m_q, s.m_scale, p, a_row, b_col,
+                    1.0 / mc, lr, b1=b1, wd=weight_decay, eps=eps,
+                    interpret=interpret)
+                new_updates.append(upd)
+                new_states.append(_LeafState(m_q=m_q, m_scale=m_scale, v=v))
+                token = m_scale
+                continue
             gf = g.astype(jnp.float32)
             m = b1 * _dequant_m(s.m_q, s.m_scale) + (1.0 - b1) * gf
             v = _v_update(s.v, jnp.square(gf), b2)

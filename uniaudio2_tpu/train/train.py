@@ -139,6 +139,10 @@ def main(argv: Optional[list] = None) -> None:
         schedule.warmup_lr(args.learning_rate, args.warmup_steps),
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
         accum_steps=args.grad_accum, optimizer=args.optimizer,
+        # the fused lean-update kernel is a single-device op (a pallas_call
+        # cannot be sharded by the SPMD partitioner) — sharded runs keep
+        # the XLA per-leaf chain
+        lean_fused="off" if n_dev > 1 else None,
     )
     state = trainer.init_train_state(params, tx)
     reporter = Reporter(

@@ -56,6 +56,7 @@ def make_optimizer(
     b2: float = 0.95,
     accum_steps: int = 1,
     optimizer: str = "adamw",
+    lean_fused: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clipping (+ optional gradient accumulation),
     matching the reference's training knobs (`arguments.py:56-68`).
@@ -76,7 +77,8 @@ def make_optimizer(
 
         tx = optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            adamw_lean(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+            adamw_lean(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
+                       fused=lean_fused),
         )
     elif optimizer == "adafactor":
         tx = optax.chain(
