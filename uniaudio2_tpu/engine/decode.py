@@ -46,13 +46,30 @@ def _serving_jit(fn):
     compiler_options travel with the compile request and are validated
     by the backend that owns them."""
     opts = os.environ.get("UA2_XLA_OPTS", "")
-    if not opts:
+    if not opts.strip():
         return jax.jit(fn)
     parsed: Dict[str, Any] = {}
     for kv in opts.split(","):
-        k, _, v = kv.partition("=")
-        parsed[k.strip()] = {"true": True, "false": False}.get(
-            v.strip().lower(), v.strip())
+        kv = kv.strip()
+        if not kv:
+            continue  # tolerate trailing/duplicate commas
+        k, sep, v = kv.partition("=")
+        k, v = k.strip(), v.strip()
+        if not sep or not k or not v:
+            raise ValueError(
+                f"UA2_XLA_OPTS: malformed segment {kv!r} "
+                "(expected comma-separated key=value pairs)")
+        lv = v.lower()
+        if lv in ("true", "false"):
+            parsed[k] = lv == "true"
+        else:
+            try:
+                parsed[k] = int(v)
+            except ValueError:
+                try:
+                    parsed[k] = float(v)
+                except ValueError:
+                    parsed[k] = v
     return jax.jit(fn, compiler_options=parsed)
 
 Params = Dict[str, Any]

@@ -140,22 +140,42 @@ def _v_rsqrt(v, bias_corr: jax.Array, eps: float) -> jax.Array:
 
 
 def _resolve_fused(fused) -> Tuple[bool, bool]:
-    """(use_fused, interpret). ``fused``: "auto" (on for TPU-class
-    backends, off on CPU), "on"/"off", or None (= env UA2_LEAN_FUSED with
-    "auto" default). The fused kernel is a single-device op — multi-chip
-    sharded training must pass "off" (train.py does; the XLA SPMD
-    partitioner cannot shard a pallas_call and would replicate the
-    leaf)."""
+    """(use_fused, interpret). ``fused``: "auto" (on for single-device
+    TPU-class backends, off on CPU), "on"/"off", or None (= env
+    UA2_LEAN_FUSED; "0"/"off" and "1"/"on" accepted, unrecognized values
+    raise). The fused kernel is a single-device op — the XLA SPMD
+    partitioner cannot shard a pallas_call and would silently replicate
+    the leaf — so "auto" also turns itself off when the process sees more
+    than one device (multi-chip training composes adamw_lean under
+    sharding); an explicit "on" keeps the kernel but warns."""
     if fused is None:
         import os
-        fused = {"0": "off", "1": "on"}.get(
-            os.environ.get("UA2_LEAN_FUSED", "auto"), "auto")
+        raw = os.environ.get("UA2_LEAN_FUSED", "auto").strip().lower()
+        aliases = {"0": "off", "off": "off", "1": "on", "on": "on",
+                   "auto": "auto"}
+        if raw not in aliases:
+            raise ValueError(
+                f"UA2_LEAN_FUSED={raw!r}: expected on/1, off/0, or auto")
+        fused = aliases[raw]
     if fused == "off":
         return False, False
     cpu = jax.default_backend() == "cpu"
+    multi = len(jax.devices()) > 1
     if fused == "on":
+        if multi:
+            import warnings
+
+            warnings.warn(
+                "adamw_lean fused=on with >1 visible device: the Pallas "
+                "update kernel is single-device only; sharded leaves would "
+                "be replicated by the SPMD partitioner. Use fused='off' "
+                "for sharded training.",
+                RuntimeWarning,
+            )
         return True, cpu  # interpret-mode pallas on CPU (tests)
-    return (not cpu), False
+    if fused != "auto":
+        raise ValueError(f"adamw_lean fused={fused!r}: expected on/off/auto")
+    return (not cpu and not multi), False
 
 
 def adamw_lean(

@@ -65,8 +65,27 @@ def install_pjit_const_fastpath_guard() -> None:
         if p.consts:
             # Constants were hoisted into args_flat; the C++ fastpath would
             # replay the executable without them.  Hide the executable so
-            # _get_fastpath_data declines to cache one.
-            out = out[:5] + (None,) + out[6:]
+            # _get_fastpath_data declines to cache one.  Verify the 0.9.0
+            # return layout before touching index 5 (outs, out_flat,
+            # out_tree, args_flat, jaxpr, compiled, profiler, const_args):
+            # a point-release reshuffle must leave the tuple alone rather
+            # than silently nulling the wrong slot.
+            layout_ok = (
+                isinstance(out, tuple) and len(out) == 8
+                and out[2] is p.out_tree
+                and out[4] is p.params["jaxpr"]
+            )
+            if layout_ok:
+                out = out[:5] + (None,) + out[6:]
+            else:  # pragma: no cover - future-jax safety net
+                import warnings
+
+                warnings.warn(
+                    "jax_compat: _run_python_pjit return layout changed; "
+                    "pjit const-fastpath guard left the result untouched "
+                    "(re-check the jax 0.9.x hoisted-const bug)",
+                    RuntimeWarning,
+                )
         return out
 
     _run_python_pjit_guarded._ua2_orig = orig  # for tests / uninstall
