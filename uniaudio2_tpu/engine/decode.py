@@ -35,6 +35,24 @@ import numpy as np
 from uniaudio2_tpu.config import UnifiedModelConfig
 from uniaudio2_tpu.models import gpt, unified
 from uniaudio2_tpu.models.unified import UnifiedCaches
+from uniaudio2_tpu.ops.kv_cache import QuantKV
+
+
+def _shard_caches(caches, cache_sharding):
+    """Apply the tp cache shardings. ``cache_sharding`` maps the VALUES
+    rank (5 stacked / 4 per-layer) to a NamedSharding over the kv-group
+    axis; a QuantKV's scale tensor drops the trailing head axis, so its
+    group axis matches the spec of rank ``ndim + 1``."""
+    wsc = jax.lax.with_sharding_constraint
+
+    def entry(e):
+        if isinstance(e, QuantKV):
+            return QuantKV(wsc(e.q, cache_sharding[e.q.ndim]),
+                           wsc(e.s, cache_sharding[e.s.ndim + 1]))
+        return wsc(e, cache_sharding[e.ndim])
+
+    return jax.tree_util.tree_map(
+        entry, caches, is_leaf=lambda x: isinstance(x, QuantKV))
 
 
 def _serving_jit(fn):
@@ -80,6 +98,31 @@ DEFAULT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 PHASE_DROPPED = 0
 PHASE_REASON = 1
 PHASE_SEMANTIC = 2
+
+
+def resolve_kv_quant(mode: Optional[str], cache_len: int, cache_dtype):
+    """Resolve the int8-KV-cache switch for one compiled program.
+
+    ``mode``: "on"/"1"/"int8" force the quantized cache, "off"/"0" force
+    the given ``cache_dtype``, "auto"/None read ``UA2_KV_QUANT`` (default
+    auto). AUTO policy from the round-5 TPU A/B on the real generation
+    loop (docs/kv_quant_r5.md): int8 KV wins at long cache budgets where
+    attention reads dominate glue, loses a little at short ones to the
+    quantize/dequantize arithmetic — same shape as the attn_block policy,
+    so AUTO uses the same >= 512-slot threshold."""
+    if mode is None:
+        mode = os.environ.get("UA2_KV_QUANT", "auto")
+    mode = str(mode).strip().lower()
+    aliases = {"0": "off", "off": "off", "1": "on", "on": "on",
+               "int8": "on", "auto": "auto"}
+    if mode not in aliases:
+        raise ValueError(
+            f"UA2_KV_QUANT={mode!r}: expected on/1/int8, off/0, or auto")
+    mode = aliases[mode]
+    if mode == "on" or (mode == "auto" and cache_len >= 512
+                        and cache_dtype != jnp.int8):
+        return jnp.int8
+    return cache_dtype
 
 
 def resolve_attn_block(attn_block: Optional[int], cache_len: int) -> int:
@@ -138,6 +181,7 @@ def _build_generate(
     approx_topk: bool = False,
     cache_lists: bool = False,
     attn_block: int = 0,
+    kv_quant: Optional[str] = None,
 ):
     """Construct the jittable full-generation function for one configuration."""
     ts = cfg.tokens
@@ -150,6 +194,7 @@ def _build_generate(
     # per-frame HBM traffic with the real workload.
     cache_len = min(cfg.max_seq_len, -(-(bucket + max_frames) // 256) * 256)
     attn_block = resolve_attn_block(attn_block, cache_len)
+    cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype)
 
     def generate(
         params: Params,
@@ -163,11 +208,7 @@ def _build_generate(
                                      seq_len=cache_len,
                                      as_lists=cache_lists)
         if cache_sharding is not None:
-            caches = jax.tree_util.tree_map(
-                lambda a: jax.lax.with_sharding_constraint(
-                    a, cache_sharding[a.ndim]),
-                caches,
-            )
+            caches = _shard_caches(caches, cache_sharding)
         # Prefill positions [0, bucket-1) with grid[:, :-1] (reference
         # forward_prefix consumes tokens[:, :-1], asr_task.py:658).
         caches = unified.prefill(
@@ -307,6 +348,7 @@ def _build_generate_batched(
     approx_topk: bool = False,
     cache_lists: bool = False,
     attn_block: int = 0,
+    kv_quant: Optional[str] = None,
 ):
     """Batched multi-utterance generation: B independent rows decode in one
     compiled loop with per-row EOS / two-phase state.
@@ -333,6 +375,7 @@ def _build_generate_batched(
         -(-(bucket + max_frames + 1) // 256) * 256,
     )
     attn_block = resolve_attn_block(attn_block, cache_len)
+    cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype)
 
     def generate(
         params: Params,
@@ -347,11 +390,7 @@ def _build_generate_batched(
                                      seq_len=cache_len,
                                      as_lists=cache_lists)
         if cache_sharding is not None:
-            caches = jax.tree_util.tree_map(
-                lambda a: jax.lax.with_sharding_constraint(
-                    a, cache_sharding[a.ndim]),
-                caches,
-            )
+            caches = _shard_caches(caches, cache_sharding)
         slot = jnp.arange(cache_len, dtype=jnp.int32)
         pad = (bucket - prompt_lens)[:, None]      # (B, 1) left-pad widths
         key_valid = slot[None, :] >= pad           # pad slots invalid forever
@@ -484,8 +523,15 @@ class DecodeEngine:
         use_tp: bool = False,
         approx_topk: bool = True,
         attn_block: Optional[int] = None,
+        kv_quant: Optional[str] = None,
     ):
-        """``mesh``: optional `jax.sharding.Mesh` for multi-chip serving —
+        """``kv_quant`` ("auto"/"on"/"off", default env ``UA2_KV_QUANT`` or
+        auto) selects the int8 KV cache per compiled program
+        (`resolve_kv_quant`): int8 values + per-slot scales, read natively
+        by int8 MXU contractions (`ops/attention.py`) — halves cache HBM
+        traffic and doubles servable rows/context per chip.
+
+        ``mesh``: optional `jax.sharding.Mesh` for multi-chip serving —
         parameters are placed by `parallel/mesh.py`'s specs (FSDP over the
         `fsdp` axis, attention-head/MLP-hidden tensor parallelism over `tp`
         when ``use_tp``), the KV caches are sharded over `tp` on the
@@ -518,6 +564,7 @@ class DecodeEngine:
             env = os.environ.get("UA2_ATTN_BLOCK", "auto")
             attn_block = -1 if env == "auto" else int(env)
         self.attn_block = int(attn_block)
+        self.kv_quant = kv_quant
         self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (
             cfg.max_seq_len,
         )
@@ -556,6 +603,7 @@ class DecodeEngine:
                 approx_topk=self.approx_topk,
                 cache_lists=self._cache_lists,
                 attn_block=self.attn_block,
+                kv_quant=self.kv_quant,
             )
             self._compiled[key] = _serving_jit(fn)
         return self._compiled[key]
@@ -633,6 +681,7 @@ class DecodeEngine:
                 approx_topk=self.approx_topk,
                 cache_lists=self._cache_lists,
                 attn_block=self.attn_block,
+                kv_quant=self.kv_quant,
             )
             self._compiled[key] = _serving_jit(fn)
         return self._compiled[key]
@@ -767,8 +816,11 @@ class DecodeEngine:
         if key not in self._compiled:
             cfg = self.cfg
 
+            host_dtype = resolve_kv_quant(
+                self.kv_quant, cfg.max_seq_len, self.cache_dtype)
+
             def prefill_fn(params, grid, grid_mask):
-                caches = unified.init_caches(cfg, batch, dtype=self.cache_dtype,
+                caches = unified.init_caches(cfg, batch, dtype=host_dtype,
                                              as_lists=self._cache_lists)
                 return unified.prefill(
                     params, cfg, grid[:, :-1], grid_mask[:, :-1], caches
@@ -786,12 +838,18 @@ class DecodeEngine:
                 return gpt.lm_head(params["backbone"], last_h, cfg.backbone), caches
 
             def reorder_fn(caches, order):
-                # stacked leaves are (L, B, G, S, hd); per-layer list
-                # leaves are (B, G, S, hd)
+                # stacked value leaves are (L, B, G, S, hd); per-layer list
+                # leaves are (B, G, S, hd); QuantKV scales drop the trailing
+                # head axis — the batch axis is always ndim-4 (values) /
+                # ndim-3 (scales)
+                def entry(c):
+                    if isinstance(c, QuantKV):
+                        return QuantKV(jnp.take(c.q, order, axis=c.q.ndim - 4),
+                                       jnp.take(c.s, order, axis=c.s.ndim - 3))
+                    return jnp.take(c, order, axis=c.ndim - 4)
+
                 return jax.tree_util.tree_map(
-                    lambda c: jnp.take(c, order, axis=1 if c.ndim == 5 else 0),
-                    caches,
-                )
+                    entry, caches, is_leaf=lambda x: isinstance(x, QuantKV))
 
             self._compiled[key] = (
                 _serving_jit(prefill_fn), _serving_jit(step_fn),

@@ -30,7 +30,9 @@ import jax.numpy as jnp
 
 from uniaudio2_tpu.config import GPTConfig
 from uniaudio2_tpu.ops.attention import causal_attention, decode_attention
-from uniaudio2_tpu.ops.kv_cache import KVCache, update_layer
+from uniaudio2_tpu.ops.kv_cache import (
+    KVCache, layer_entry, set_layer_entry, update_layer,
+)
 from uniaudio2_tpu.ops.norms import rms_norm
 from uniaudio2_tpu.ops.quant import matmul
 from uniaudio2_tpu.ops.rope import apply_rope, rope_cache
@@ -365,7 +367,9 @@ def prefill(
         if lists:
             k_all, v_all = list(k_all), list(v_all)
         for i, layer in enumerate(params["layers"]):
-            inputs = (layer, k_all[i], v_all[i])
+            k_i = k_all[i] if lists else layer_entry(k_all, i)
+            v_i = v_all[i] if lists else layer_entry(v_all, i)
+            inputs = (layer, k_i, v_i)
             if wins is not None:
                 inputs = inputs + (wins[i],)
             x, (k_l, v_l) = layer_fn(x, inputs)
@@ -373,8 +377,8 @@ def prefill(
                 k_all[i] = k_l
                 v_all[i] = v_l
             else:
-                k_all = k_all.at[i].set(k_l)
-                v_all = v_all.at[i].set(v_l)
+                k_all = set_layer_entry(k_all, i, k_l)
+                v_all = set_layer_entry(v_all, i, v_l)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
     xs = (params["layers"], cache.k, cache.v)
     if wins is not None:
@@ -459,7 +463,9 @@ def decode_step(
         if lists:
             k_all, v_all = list(k_all), list(v_all)
         for i, layer in enumerate(params["layers"]):
-            inputs = (layer, k_all[i], v_all[i])
+            k_i = k_all[i] if lists else layer_entry(k_all, i)
+            v_i = v_all[i] if lists else layer_entry(v_all, i)
+            inputs = (layer, k_i, v_i)
             if wins is not None:
                 inputs = inputs + (wins[i],)
             x, (k_l, v_l) = layer_fn(x, inputs)
@@ -467,8 +473,8 @@ def decode_step(
                 k_all[i] = k_l
                 v_all[i] = v_l
             else:
-                k_all = k_all.at[i].set(k_l)
-                v_all = v_all.at[i].set(v_l)
+                k_all = set_layer_entry(k_all, i, k_l)
+                v_all = set_layer_entry(v_all, i, v_l)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
     xs = (params["layers"], cache.k, cache.v)
     if wins is not None:

@@ -22,6 +22,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from uniaudio2_tpu.ops.kv_cache import QuantKV
+
 NEG_INF = jnp.float32(-1e30)
 
 
@@ -91,24 +93,14 @@ def causal_attention(
     return out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
-def _attend_prefix(
-    qg: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+def _decode_mask(
+    s_max: int,
     q_positions: jax.Array,
-    scale: float,
     key_valid: Optional[jax.Array],
-    logit_softcap: Optional[float],
     window: Optional[jax.Array],
 ) -> jax.Array:
-    """Dense masked attention of grouped queries against the (possibly
-    prefix-sliced) cache. Shared by the full-cache and level-switched
-    paths of `decode_attention`."""
-    s_max = k_cache.shape[2]
-    scores = jnp.einsum(
-        "bgpth,bgsh->bgpts", qg, k_cache, preferred_element_type=jnp.float32
-    ) * scale
-    scores = _softcap(scores, logit_softcap)
+    """Position mask for cache attention: (T, S) — or (B, 1, 1, T, S) when a
+    per-row ``key_valid`` is given."""
     key_idx = jnp.arange(s_max, dtype=jnp.int32)
     mask = key_idx[None, :] <= q_positions[:, None]  # (T, S)
     if window is not None:
@@ -119,15 +111,107 @@ def _attend_prefix(
         mask = jnp.logical_and(
             mask[None], key_valid[:, None, :]
         )[:, None, None]  # (B, 1, 1, T, S)
+    return mask
+
+
+def _attend_prefix(
+    qg: jax.Array,
+    k_cache,
+    v_cache,
+    q_positions: jax.Array,
+    scale: float,
+    key_valid: Optional[jax.Array],
+    logit_softcap: Optional[float],
+    window: Optional[jax.Array],
+) -> jax.Array:
+    """Dense masked attention of grouped queries against the (possibly
+    prefix-sliced) cache. Shared by the full-cache and level-switched
+    paths of `decode_attention`. ``k_cache``/``v_cache`` may be `QuantKV`
+    (int8 cache) — see `_attend_prefix_quant`."""
+    if isinstance(k_cache, QuantKV):
+        return _attend_prefix_quant(
+            qg, k_cache, v_cache, q_positions, scale, key_valid,
+            logit_softcap, window,
+        )
+    s_max = k_cache.shape[2]
+    scores = jnp.einsum(
+        "bgpth,bgsh->bgpts", qg, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    scores = _softcap(scores, logit_softcap)
+    mask = _decode_mask(s_max, q_positions, key_valid, window)
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
     return jnp.einsum("bgpts,bgsh->bgpth", probs, v_cache)
 
 
+def _attend_prefix_quant(
+    qg: jax.Array,
+    k_cache: QuantKV,
+    v_cache: QuantKV,
+    q_positions: jax.Array,
+    scale: float,
+    key_valid: Optional[jax.Array],
+    logit_softcap: Optional[float],
+    window: Optional[jax.Array],
+) -> jax.Array:
+    """int8-cache decode attention with NO dequantized materialisation.
+
+    Per-slot absmax scales commute out of both contractions, so each matmul
+    runs natively in int8 on the MXU (the AQT pattern — `lax.dot_general`
+    with int8 operands and an int32 accumulator) and the int8 cache bytes
+    are the only cache HBM traffic:
+
+    * QKᵀ: queries are themselves absmax-quantized per (b, g, p, t) row —
+      ``scores = (q_i8 · k_i8) * q_s * k_s * scale`` — the per-row /
+      per-slot scale products are elementwise on the (…, T, S) scores and
+      fuse into the masking/softmax fusion.
+    * PV: the value scales fold into the probabilities BEFORE the second
+      contraction (``p' = softmax(scores) * v_s``), then p' is absmax-
+      quantized per row so the contraction is again int8×int8.
+
+    Accuracy: three absmax-int8 roundings (q, p', plus the cache write) —
+    measured SNR and greedy-fidelity in docs/kv_quant_r5.md. Prefill is
+    unaffected (it attends over the fresh bf16 K/V; only cache reads after
+    the write are quantized). Reference capability match: the KVCache of
+    `lit_model.py:814-860`, extended with the standard serving-stack int8
+    compression the reference lacks."""
+    k_q, k_s = k_cache.q, k_cache.s          # (B,G,S,hd) i8, (B,G,S) f32
+    v_q, v_s = v_cache.q, v_cache.s
+    s_max = k_q.shape[2]
+    qf = qg.astype(jnp.float32)              # (B,G,P,T,hd)
+    q_s = jnp.max(jnp.abs(qf), axis=-1) / 127.0
+    q_i8 = jnp.round(qf / jnp.maximum(q_s, 1e-30)[..., None])
+    q_i8 = jnp.clip(q_i8, -127, 127).astype(jnp.int8)
+    acc = jnp.einsum(
+        "bgpth,bgsh->bgpts", q_i8, k_q, preferred_element_type=jnp.int32
+    )
+    scores = (acc.astype(jnp.float32)
+              * (q_s[..., None] * scale)
+              * k_s[:, :, None, None, :])
+    scores = _softcap(scores, logit_softcap)
+    mask = _decode_mask(s_max, q_positions, key_valid, window)
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)  # f32
+    p = probs * v_s[:, :, None, None, :]
+    p_s = jnp.max(p, axis=-1) / 127.0        # p >= 0
+    p_i8 = jnp.round(p / jnp.maximum(p_s, 1e-30)[..., None]).astype(jnp.int8)
+    out = jnp.einsum(
+        "bgpts,bgsh->bgpth", p_i8, v_q, preferred_element_type=jnp.int32
+    )
+    return (out.astype(jnp.float32) * p_s[..., None]).astype(qg.dtype)
+
+
+def _slice_prefix(cache, lvl: int):
+    """First ``lvl`` slots of a cache entry (array or QuantKV)."""
+    if isinstance(cache, QuantKV):
+        return QuantKV(cache.q[:, :, :lvl], cache.s[:, :, :lvl])
+    return cache[:, :, :lvl]
+
+
 def decode_attention(
     q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_cache,
+    v_cache,
     q_positions: jax.Array,
     *,
     scale: Optional[float] = None,
@@ -141,6 +225,9 @@ def decode_attention(
     Args:
         q: (B, H, T, hd) — T new query steps (typically 1).
         k_cache, v_cache: (B, G, S_max, hd) — already contain the new K/V.
+            May be `QuantKV` entries (int8 cache): reads then run natively
+            in int8 with scales commuted out of the contractions
+            (`_attend_prefix_quant`).
         q_positions: (T,) int32 absolute positions of the query steps.
         key_valid: optional (B, S_max) bool — False marks cache slots that
             must never be attended (per-row prompt padding in batched
@@ -160,7 +247,8 @@ def decode_attention(
         (B, T, H*hd)
     """
     b, h, t, hd = q.shape
-    g, s_max = k_cache.shape[1], k_cache.shape[2]
+    kq = k_cache.q if isinstance(k_cache, QuantKV) else k_cache
+    g, s_max = kq.shape[1], kq.shape[2]
     if scale is None:
         scale = 1.0 / (hd ** 0.5)
     qg = _group_query_heads(q, g)
@@ -176,7 +264,7 @@ def decode_attention(
         def make_branch(lvl: int):
             def branch(qg, k_cache, v_cache, q_positions, key_valid):
                 return _attend_prefix(
-                    qg, k_cache[:, :, :lvl], v_cache[:, :, :lvl],
+                    qg, _slice_prefix(k_cache, lvl), _slice_prefix(v_cache, lvl),
                     q_positions, scale,
                     None if key_valid is None else key_valid[:, :lvl],
                     logit_softcap, window,

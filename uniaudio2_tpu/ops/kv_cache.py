@@ -19,11 +19,22 @@ layer's cache every step — invisible at batch 1 (~0.4 µs) but ~7 µs per
 layer at batch 16 (~1.7 ms/frame across 65 layer units, the dominant
 non-kernel cost in the batched decode profile). Per-layer buffers update
 in place under donation with no slice copies.
+
+int8 quantized layout (``QuantKV``): each cache entry stores int8 values
+plus one f32 absmax scale per (batch, group, slot) — the TPU-shaped
+equivalent of the int8 KV caches in GPU serving stacks, built for the
+measured batch-16 attention-read floor (0.66 ms/frame at S=256, scaling
+with the cache budget — docs/profile_decode_r3.md). Halves cache HBM
+traffic AND doubles servable rows/context per chip. Reads dequantize
+nothing: both attention contractions run natively in int8 on the MXU with
+the scales commuted out of the dot (see `ops/attention.py`). Writes
+quantize at `update_layer`; prefill attention itself stays exact (it
+attends over the fresh bf16 K/V, only the cache copy is quantized).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -31,33 +42,72 @@ import jax.numpy as jnp
 from uniaudio2_tpu.config import GPTConfig
 
 
+class QuantKV(NamedTuple):
+    """One int8-quantized cache tensor: ``q`` int8 values with the same
+    layout as the bf16 cache ((..., B, G, S, hd)) and ``s`` f32 per-slot
+    absmax scales ((..., B, G, S)); dequantized value = q * s[..., None].
+    Scale overhead is 4/(hd) bytes/byte ≈ 3 % at hd=128."""
+
+    q: jax.Array
+    s: jax.Array
+
+
+CacheEntry = Union[jax.Array, QuantKV]
+
+
 class KVCache(NamedTuple):
     """``k``/``v``: (n_layer, batch, n_query_groups, max_seq, head_size),
     or a LIST of per-layer (batch, n_query_groups, max_seq, head_size)
-    buffers in the unrolled serving layout."""
+    buffers in the unrolled serving layout. Either form may be a
+    `QuantKV` (int8 values + per-slot scales) instead of a plain array."""
 
-    k: "jax.Array | list"
-    v: "jax.Array | list"
+    k: "CacheEntry | list"
+    v: "CacheEntry | list"
 
     @property
     def max_seq(self) -> int:
-        if isinstance(self.k, list):
-            return self.k[0].shape[2]
-        return self.k.shape[3]
+        k = self.k[0] if isinstance(self.k, list) else self.k
+        if isinstance(k, QuantKV):
+            k = k.q
+        return k.shape[-2]
+
+
+def _zeros_entry(shape, dtype) -> CacheEntry:
+    if dtype == jnp.int8:
+        return QuantKV(
+            q=jnp.zeros(shape, jnp.int8),
+            s=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    return jnp.zeros(shape, dtype)
 
 
 def init_cache(
     cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16,
     as_lists: bool = False,
 ) -> KVCache:
+    """``dtype=jnp.int8`` builds the quantized cache (QuantKV entries)."""
     if as_lists:
         shape = (batch, cfg.n_query_groups, max_seq, cfg.head_size)
         return KVCache(
-            k=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)],
-            v=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)],
+            k=[_zeros_entry(shape, dtype) for _ in range(cfg.n_layer)],
+            v=[_zeros_entry(shape, dtype) for _ in range(cfg.n_layer)],
         )
     shape = (cfg.n_layer, batch, cfg.n_query_groups, max_seq, cfg.head_size)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    return KVCache(k=_zeros_entry(shape, dtype), v=_zeros_entry(shape, dtype))
+
+
+def layer_entry(stacked: CacheEntry, i: int) -> CacheEntry:
+    """One layer's view of a stacked (L, ...) cache entry."""
+    if isinstance(stacked, QuantKV):
+        return QuantKV(stacked.q[i], stacked.s[i])
+    return stacked[i]
+
+
+def set_layer_entry(stacked: CacheEntry, i: int, val: CacheEntry) -> CacheEntry:
+    """Write one layer back into a stacked cache entry (`.at[i].set`)."""
+    if isinstance(stacked, QuantKV):
+        return QuantKV(stacked.q.at[i].set(val.q), stacked.s.at[i].set(val.s))
+    return stacked.at[i].set(val)
 
 
 def unstack_cache(cache: KVCache) -> KVCache:
@@ -65,22 +115,44 @@ def unstack_cache(cache: KVCache) -> KVCache:
     already lists)."""
     if isinstance(cache.k, list):
         return cache
-    n = cache.k.shape[0]
-    return KVCache(k=[cache.k[i] for i in range(n)],
-                   v=[cache.v[i] for i in range(n)])
+    n = (cache.k.q if isinstance(cache.k, QuantKV) else cache.k).shape[0]
+    return KVCache(k=[layer_entry(cache.k, i) for i in range(n)],
+                   v=[layer_entry(cache.v, i) for i in range(n)])
+
+
+def quantize_slots(x: jax.Array) -> QuantKV:
+    """(..., T, hd) values -> int8 with one absmax scale per (..., T) slot."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    q = jnp.round(xf / jnp.maximum(s, 1e-30)[..., None])
+    return QuantKV(q=jnp.clip(q, -127, 127).astype(jnp.int8), s=s)
+
+
+def _update_entry(
+    layer: CacheEntry, new: jax.Array, pos: jax.Array
+) -> CacheEntry:
+    zero = jnp.int32(0)
+    p = jnp.asarray(pos, jnp.int32)
+    if isinstance(layer, QuantKV):
+        qn = quantize_slots(new)
+        return QuantKV(
+            q=jax.lax.dynamic_update_slice(layer.q, qn.q, (zero, zero, p, zero)),
+            s=jax.lax.dynamic_update_slice(layer.s, qn.s, (zero, zero, p)),
+        )
+    return jax.lax.dynamic_update_slice(
+        layer, new.astype(layer.dtype), (zero, zero, p, zero)
+    )
 
 
 def update_layer(
-    k_layer: jax.Array,
-    v_layer: jax.Array,
+    k_layer: CacheEntry,
+    v_layer: CacheEntry,
     k_new: jax.Array,
     v_new: jax.Array,
     pos: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[CacheEntry, CacheEntry]:
     """Write ``k_new``/``v_new`` of shape (B, G, T, hd) at positions
-    [pos, pos+T) of one layer's (B, G, S_max, hd) buffers."""
-    zero = jnp.int32(0)
-    idx = (zero, zero, jnp.asarray(pos, jnp.int32), zero)
-    k_layer = jax.lax.dynamic_update_slice(k_layer, k_new.astype(k_layer.dtype), idx)
-    v_layer = jax.lax.dynamic_update_slice(v_layer, v_new.astype(v_layer.dtype), idx)
-    return k_layer, v_layer
+    [pos, pos+T) of one layer's (B, G, S_max, hd) buffers (quantizing at
+    write when the layer is a `QuantKV`)."""
+    return (_update_entry(k_layer, k_new, pos),
+            _update_entry(v_layer, v_new, pos))
