@@ -4,9 +4,10 @@ Capability parity with the reference WER suite
 (`/root/reference/metrics/wer_tools/get_wer.py:99,178,516`, `get_wer_cn.py`):
 scp/tsv batch scoring, whisper-style English normalization, CJK
 character-level scoring. Self-contained: Levenshtein is implemented here
-(the reference pulls in jiwer/editdistance); the optional whisper
-``EnglishTextNormalizer`` is used when `transformers` provides it, with a
-built-in basic normalizer as fallback.
+(the reference pulls in jiwer/editdistance) and the whisper-normalizer
+semantics are owned in `en_text_norm.py` (differentially tested against
+the `transformers` implementation — no import-time fallback that could
+silently change WER).
 """
 
 from __future__ import annotations
@@ -53,16 +54,14 @@ def basic_normalize(text: str) -> str:
 
 
 def english_normalize(text: str) -> str:
-    """Whisper EnglishTextNormalizer when available (reference
-    `wer_tools/whisper_normalizer`), else the basic normalizer."""
-    try:
-        from transformers.models.whisper.english_normalizer import (
-            EnglishTextNormalizer,
-        )
+    """Whisper-normalizer semantics, owned: contraction/title expansion,
+    spelled-out-number -> arabic, currency/percent folding, UK->US spelling
+    (reference `wer_tools/whisper_normalizer/english.py` as applied at
+    `get_wer.py:99`). Implemented in `en_text_norm.py` and differentially
+    tested against the `transformers` port — no silent fallback."""
+    from uniaudio2_tpu.metrics.en_text_norm import english_text_normalize
 
-        return EnglishTextNormalizer({})(text)
-    except Exception:
-        return basic_normalize(text)
+    return english_text_normalize(text)
 
 
 _CJK = re.compile(r"[一-鿿㐀-䶿]")
