@@ -152,9 +152,15 @@ class TestResolve:
             resolve_kv_quant(None, 64, jnp.bfloat16)
 
     def test_auto_threshold(self):
+        """AUTO = on at cache >= 512 OR batch >= 8 (the r5 TPU A/B:
+        int8 wins every batched config even at cache 256, and batch-1
+        from cache 512 up — docs/kv_quant_r5.md)."""
         from uniaudio2_tpu.engine.decode import resolve_kv_quant
         assert resolve_kv_quant("auto", 256, jnp.bfloat16) == jnp.bfloat16
         assert resolve_kv_quant("auto", 512, jnp.bfloat16) == jnp.int8
+        assert resolve_kv_quant("auto", 256, jnp.bfloat16, batch=8) == jnp.int8
+        assert resolve_kv_quant("auto", 256, jnp.bfloat16, batch=4) \
+            == jnp.bfloat16
 
 
 @pytest.fixture(scope="module")

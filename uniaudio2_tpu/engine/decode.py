@@ -100,16 +100,20 @@ PHASE_REASON = 1
 PHASE_SEMANTIC = 2
 
 
-def resolve_kv_quant(mode: Optional[str], cache_len: int, cache_dtype):
+def resolve_kv_quant(mode: Optional[str], cache_len: int, cache_dtype,
+                     batch: int = 1):
     """Resolve the int8-KV-cache switch for one compiled program.
 
     ``mode``: "on"/"1"/"int8" force the quantized cache, "off"/"0" force
     the given ``cache_dtype``, "auto"/None read ``UA2_KV_QUANT`` (default
     auto). AUTO policy from the round-5 TPU A/B on the real generation
-    loop (docs/kv_quant_r5.md): int8 KV wins at long cache budgets where
-    attention reads dominate glue, loses a little at short ones to the
-    quantize/dequantize arithmetic — same shape as the attn_block policy,
-    so AUTO uses the same >= 512-slot threshold."""
+    loop (docs/kv_quant_r5.md): int8 KV wins every BATCHED config —
+    +2.4 % at batch 8 and +5.7-6.4 % at batch 16 even at the short
+    256-slot budget (attention reads scale with batch; the bf16->int8
+    byte halving beats the extra quantize arithmetic) — and wins batch-1
+    at long budgets (+1.9 % at cache 768) while costing a within-noise
+    -0.3 % at batch-1 cache 256. AUTO therefore turns on when
+    ``batch >= 8`` OR ``cache_len >= 512``."""
     if mode is None:
         mode = os.environ.get("UA2_KV_QUANT", "auto")
     mode = str(mode).strip().lower()
@@ -119,7 +123,8 @@ def resolve_kv_quant(mode: Optional[str], cache_len: int, cache_dtype):
         raise ValueError(
             f"UA2_KV_QUANT={mode!r}: expected on/1/int8, off/0, or auto")
     mode = aliases[mode]
-    if mode == "on" or (mode == "auto" and cache_len >= 512
+    if mode == "on" or (mode == "auto"
+                        and (cache_len >= 512 or batch >= 8)
                         and cache_dtype != jnp.int8):
         return jnp.int8
     return cache_dtype
@@ -194,7 +199,8 @@ def _build_generate(
     # per-frame HBM traffic with the real workload.
     cache_len = min(cfg.max_seq_len, -(-(bucket + max_frames) // 256) * 256)
     attn_block = resolve_attn_block(attn_block, cache_len)
-    cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype)
+    cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype,
+                                   batch=batch)
 
     def generate(
         params: Params,
@@ -375,7 +381,8 @@ def _build_generate_batched(
         -(-(bucket + max_frames + 1) // 256) * 256,
     )
     attn_block = resolve_attn_block(attn_block, cache_len)
-    cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype)
+    cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype,
+                                   batch=n_rows)
 
     def generate(
         params: Params,
@@ -817,7 +824,8 @@ class DecodeEngine:
             cfg = self.cfg
 
             host_dtype = resolve_kv_quant(
-                self.kv_quant, cfg.max_seq_len, self.cache_dtype)
+                self.kv_quant, cfg.max_seq_len, self.cache_dtype,
+                batch=batch)
 
             def prefill_fn(params, grid, grid_mask):
                 caches = unified.init_caches(cfg, batch, dtype=host_dtype,
