@@ -57,6 +57,9 @@ def main(argv=None):
                    help="offered loads (requests/s)")
     p.add_argument("--quant", default="int4all")
     p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--ladder", default="auto",
+                   help="segment ladder: auto | off | '2,4,8' "
+                        "(r5 TTFT-tail lever; 'off' = fixed r4 behavior)")
     args = p.parse_args(argv)
 
     tiny = os.environ.get("UA2_BENCH_SCALE") == "tiny"
@@ -111,11 +114,13 @@ def main(argv=None):
         return taskmod.prepare_tts(prompt, text, cfg.tokens)
 
     def fresh_engine(rows):
-        return ContinuousEngine(
+        eng = ContinuousEngine(
             params, cfg, mode="audio", rows=rows, bucket=64,
             seg_frames=args.seg_frames, cache_len=args.cache_len,
             max_frames=args.max_frames, temperature=0.9, topk=args.topk,
-            cache_dtype=cache_dtype)
+            cache_dtype=cache_dtype, seg_ladder=args.ladder)
+        eng.warmup()   # AOT-compile all scheduler programs off the clock
+        return eng
 
     # ---- batch-1 isolated floor -------------------------------------------
     eng1 = fresh_engine(1)
@@ -145,6 +150,7 @@ def main(argv=None):
 
     for load in args.loads:
         eng.timings.clear()
+        eng.stats = {k: 0 for k in eng.stats}
         eng._state = eng._fresh_state(eng._cache_dtype)
         eng._pos_host = eng.bucket
         arr_rng = np.random.default_rng(1234)
@@ -188,6 +194,8 @@ def main(argv=None):
             "goodput_tokens_per_s": round(frames_done * ncb / makespan, 1),
             "makespan_s": round(makespan, 2),
             "segments": eng.stats["segments"],
+            "reactive": eng.stats["reactive"],
+            "ladder": list(eng.seg_ladder),
         }), flush=True)
     return 0
 

@@ -259,3 +259,71 @@ def test_step_online_and_timings(setup):
         t = ce.timings[rid]
         assert t["submitted"] <= t["first"] <= t["done"]
         assert t["frames"] >= 1
+
+
+def test_resolve_seg_ladder():
+    """Ladder parsing: auto scales with seg_frames, off pins fixed
+    segments, explicit lists are deduped/capped/sorted, junk raises."""
+    resolve = ContinuousEngine._resolve_ladder
+    assert resolve("auto", 8) == (2, 4, 8)
+    assert resolve("auto", 4) == (2, 4)
+    assert resolve("off", 8) == (8,)
+    assert resolve("0", 8) == (8,)
+    assert resolve("2,8,4,8", 8) == (2, 4, 8)
+    assert resolve("16", 8) == (8,)      # capped at seg_frames
+    with pytest.raises(ValueError):
+        resolve("fast,slow", 8)
+
+
+def test_online_ladder_token_identity(setup):
+    """The adaptive ladder + reactive segment must not change tokens: the
+    PRNG advances per frame, not per segment, so any boundary schedule
+    yields the same streams. 3 requests through 2 rows exercises the
+    queued-behind-full-batch path (reactive program) under 'auto'."""
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 3)
+
+    def run(ladder):
+        ce = ContinuousEngine(
+            params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+            cache_len=256, max_frames=8, topk=1, cache_dtype=jnp.float32,
+            seg_ladder=ladder,
+        )
+        rids = [ce.submit(g, m) for g, m in reqs]
+        results = {}
+        for _ in range(100):
+            results.update(ce.step_online())
+            if len(results) == len(rids):
+                break
+        return [results[r] for r in rids], ce.stats
+
+    fixed, stats_fixed = run("off")
+    auto, stats_auto = run("auto")
+    short, _ = run("1,2")
+    assert stats_fixed["reactive"] == 0
+    assert stats_auto["reactive"] >= 1   # request queued behind full rows
+    for a, b, c in zip(fixed, auto, short):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
+
+def test_warmup_precompiles(setup):
+    """warmup() AOT-compiles every scheduler program; the subsequent
+    online run then hits only cached executables (no lazy compile in the
+    latency-measured path)."""
+    cfg, params, ref = setup
+    ce = ContinuousEngine(
+        params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+        cache_len=256, max_frames=8, topk=1, cache_dtype=jnp.float32,
+        seg_ladder="auto",
+    )
+    ce.warmup()
+    g, m = _requests(cfg.tokens, 1)[0]
+    exp = ref.generate_text(g, m, topk=1)
+    rid = ce.submit(g, m)
+    results = {}
+    for _ in range(50):
+        results.update(ce.step_online())
+        if results:
+            break
+    np.testing.assert_array_equal(results[rid], exp)

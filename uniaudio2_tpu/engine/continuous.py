@@ -6,7 +6,15 @@ finishes. This module adds iteration-level scheduling (the vLLM-class
 serving discipline) on top of the same compiled-loop design:
 
 * the decode loop runs in SEGMENTS (`seg_frames` frames per compiled
-  call) over a B-row batch with per-row two-phase/EOS/budget state;
+  call) over a B-row batch with per-row two-phase/EOS/budget state; the
+  ONLINE scheduler picks each boundary's segment length from an adaptive
+  LADDER (short right after an admission so the new request's first
+  frames surface in ~2 frames, medium while a free row awaits arrivals,
+  full when saturated) and switches to a row-free-REACTIVE program (early
+  exit the frame a row completes) when a request is queued behind a full
+  batch — the round-5 TTFT-tail levers (docs/serving_latency_r5.md);
+  correctness is segmentation-invariant (the PRNG advances per frame, not
+  per segment), tested by token identity across ladder settings;
 * refills are FUSED into the segment program: up to B queued prompts are
   written into freed rows in a `lax.cond`-guarded prologue, then the
   segment decodes — one host dispatch per boundary. A refill writes the
@@ -260,6 +268,48 @@ def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
     return segment
 
 
+def _build_segment_reactive(cfg: UnifiedModelConfig, *, mode: str,
+                            seg_frames: int, temperature: float, topk: int,
+                            use_cfg: bool = False, cfg_scale: float = 1.0,
+                            attn_block: int = 0):
+    """Row-free-reactive segment: decode up to ``seg_frames`` frames but
+    RETURN EARLY the moment any row completes. Used when the queue holds a
+    request waiting for a row — the host then admits at the exact frame the
+    row frees instead of up to a full segment later (the TTFT-p99
+    slot-wait component, docs/serving_latency_r4.md). No refill prologue:
+    this program only runs when nothing is admissible. Returns
+    (state, slab (B, seg_frames, C), n_steps)."""
+    ncb = cfg.tokens.num_codebooks
+    frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
+                                  topk=topk, use_cfg=use_cfg,
+                                  cfg_scale=cfg_scale, attn_block=attn_block)
+
+    def segment(params: Params, s: SlotState):
+        cache_len = s.caches.backbone.max_seq
+        slot_idx = jnp.arange(cache_len, dtype=jnp.int32)
+        b = s.active.shape[0]
+        slab0 = jnp.zeros((b, seg_frames, ncb + 3), jnp.int32)
+
+        def cond(c):
+            step, s, _, freed = c
+            return ((step < seg_frames) & ~freed
+                    & jnp.any(s.active) & (s.pos < cache_len - 1))
+
+        def body(c):
+            step, s, slab, freed = c
+            s, packed = frame_body(params, s, slot_idx)
+            slab = jax.lax.dynamic_update_slice_in_dim(
+                slab, packed[:, None, :], step, axis=1)
+            freed = freed | jnp.any(packed[:, ncb + 2] > 0)
+            return step + 1, s, slab, freed
+
+        steps, s, slab, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), s, slab0, jnp.bool_(False)))
+        return s, slab, steps
+
+    return segment
+
+
 def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
                  temperature: float, topk: int,
                  use_cfg: bool = False, cfg_scale: float = 1.0,
@@ -455,7 +505,8 @@ class ContinuousEngine:
                  topk: int = 1, seed: int = 888,
                  use_cfg: bool = False, cfg_scale: float = 1.0,
                  cache_dtype=jnp.bfloat16,
-                 attn_block: "Optional[int]" = None):
+                 attn_block: "Optional[int]" = None,
+                 seg_ladder: "Optional[str]" = None):
         assert mode in ("text", "audio")
         if use_cfg:
             assert mode == "audio", "CFG guides audio generation (TTS/TTA)"
@@ -491,11 +542,30 @@ class ContinuousEngine:
             attn_block = -1 if env == "auto" else int(env)
         from uniaudio2_tpu.engine.decode import resolve_attn_block
         self.attn_block = resolve_attn_block(int(attn_block), cache_len)
-        self._segment = jax.jit(_build_segment(
-            cfg, mode=mode, bucket=bucket, seg_frames=seg_frames,
-            temperature=temperature, topk=topk, use_cfg=use_cfg,
-            cfg_scale=cfg_scale, attn_block=self.attn_block),
-            donate_argnums=(1,))
+        # Adaptive segment ladder (round-5 TTFT-tail lever,
+        # docs/serving_latency_r5.md): the scheduler picks a segment length
+        # per boundary — SHORT right after an admission (the new request's
+        # first frames surface in ~2 frames instead of a full segment),
+        # MEDIUM while free rows await possible arrivals (bounds the
+        # boundary-wait component of TTFT), FULL when saturated (dispatch
+        # overhead amortized where only throughput matters). "off"/a single
+        # length reproduces the fixed-segment r4 behavior.
+        self.seg_ladder = self._resolve_ladder(seg_ladder, seg_frames)
+        self._segments: Dict[int, Any] = {}
+        for k in self.seg_ladder:
+            self._segments[k] = jax.jit(_build_segment(
+                cfg, mode=mode, bucket=bucket, seg_frames=k,
+                temperature=temperature, topk=topk, use_cfg=use_cfg,
+                cfg_scale=cfg_scale, attn_block=self.attn_block),
+                donate_argnums=(1,))
+        self._segment = self._segments[self.seg_ladder[-1]]
+        self._reactive = None
+        if len(self.seg_ladder) > 1:
+            self._reactive = jax.jit(_build_segment_reactive(
+                cfg, mode=mode, seg_frames=seg_frames,
+                temperature=temperature, topk=topk, use_cfg=use_cfg,
+                cfg_scale=cfg_scale, attn_block=self.attn_block),
+                donate_argnums=(1,))
         self._drain = jax.jit(_build_drain(
             cfg, mode=mode, drain_cap=cache_len - bucket,
             temperature=temperature, topk=topk, use_cfg=use_cfg,
@@ -504,11 +574,36 @@ class ContinuousEngine:
         self._key = jax.random.PRNGKey(seed)
         self._state = self._fresh_state(cache_dtype)
         self._pos_host = self.bucket   # mirrors state.pos (no device reads)
-        self.stats = {"segments": 0, "drains": 0, "refills": 0, "resets": 0}
+        self.stats = {"segments": 0, "drains": 0, "refills": 0, "resets": 0,
+                      "reactive": 0}
         self._cache_dtype = cache_dtype
         self._temperature = temperature
         self._topk = topk
         self._cfg_scale = cfg_scale
+
+    @staticmethod
+    def _resolve_ladder(spec: Optional[str], seg_frames: int) -> tuple:
+        """Parse the segment-length ladder: "off"/"0" -> fixed segments,
+        "auto"/None -> (2, seg_frames//2, seg_frames), or explicit
+        "2,4,8". Entries are deduped, capped at ``seg_frames``, sorted.
+        Env default: ``UA2_SEG_LADDER``."""
+        import os as _os
+        if spec is None:
+            spec = _os.environ.get("UA2_SEG_LADDER", "auto")
+        spec = str(spec).strip().lower()
+        if spec in ("off", "0", ""):
+            return (seg_frames,)
+        if spec == "auto":
+            ks = (2, seg_frames // 2, seg_frames)
+        else:
+            try:
+                ks = tuple(int(x) for x in spec.split(","))
+            except ValueError:
+                raise ValueError(
+                    f"UA2_SEG_LADDER={spec!r}: expected 'auto', 'off', or "
+                    "a comma-separated length list like '2,4,8'")
+        ks = sorted({max(1, min(int(k), seg_frames)) for k in ks})
+        return tuple(ks) or (seg_frames,)
 
     def _fresh_state(self, cache_dtype=jnp.bfloat16) -> SlotState:
         b = self.rows
@@ -708,7 +803,14 @@ class ContinuousEngine:
             self._pos_host = self.bucket
             self.stats["resets"] += 1
             return {}
-        self._run_segment(refills)
+        if self._reactive is not None and not refills \
+                and not self._queue.empty():
+            # a request is waiting on a row: decode reactively so the
+            # row-free event surfaces at the exact frame it happens
+            if not self._run_reactive():
+                self._run_segment(refills, self.seg_ladder[-1])
+        else:
+            self._run_segment(refills, self._pick_seg(refills))
         done, self._results = self._results, {}
         return done
 
@@ -731,7 +833,7 @@ class ContinuousEngine:
             if self._queue.empty() and not refills:
                 self._run_drain()
             else:
-                self._run_segment(refills)
+                self._run_segment(refills, self._pick_seg(refills))
         out, self._results = self._results, {}
         return out
 
@@ -781,12 +883,51 @@ class ContinuousEngine:
         return (jnp.asarray(rows), jnp.asarray(grids), jnp.asarray(masks),
                 jnp.asarray(lens), jnp.asarray(caps))
 
-    def _run_segment(self, refills):
-        self._state, slab = self._segment(
+    def _pick_seg(self, refills) -> int:
+        """Segment length for this boundary: shortest right after an
+        admission (first frames surface fast), middle while a free row
+        could take an arrival (bounds the boundary wait), longest when
+        saturated (amortize dispatch where only throughput matters)."""
+        if len(self.seg_ladder) == 1:
+            return self.seg_ladder[-1]
+        if refills:
+            return self.seg_ladder[0]
+        if any(s.request_id < 0 for s in self._slots):
+            return self.seg_ladder[min(1, len(self.seg_ladder) - 1)]
+        return self.seg_ladder[-1]
+
+    def _run_segment(self, refills, k: Optional[int] = None):
+        k = self.seg_frames if k is None else k
+        self._state, slab = self._segments[k](
             self.params, self._state, *self._refill_args(refills))
         self.stats["segments"] += 1
-        self._pos_host += self.seg_frames
+        self._pos_host += k
         self._harvest(np.asarray(slab))
+
+    def _run_reactive(self) -> bool:
+        """One reactive decode burst; False when it made no progress (the
+        caller then falls back to a plain segment)."""
+        self._state, slab, steps = self._reactive(self.params, self._state)
+        self.stats["reactive"] += 1
+        steps = int(steps)
+        self._pos_host += steps
+        if steps:
+            self._harvest(np.asarray(slab)[:, :steps])
+        return steps > 0
+
+    def warmup(self) -> None:
+        """AOT-compile every scheduler program (all ladder segments, the
+        reactive segment, the drain) so online latency percentiles never
+        pay a lazy compile mid-measurement."""
+        absarg = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        p_abs, s_abs = absarg(self.params), absarg(self._state)
+        r_abs = absarg(self._refill_args([]))
+        for fn in self._segments.values():
+            fn.lower(p_abs, s_abs, *r_abs).compile()
+        if self._reactive is not None:
+            self._reactive.lower(p_abs, s_abs).compile()
+        self._drain.lower(p_abs, s_abs).compile()
 
     def _run_drain(self):
         self._state, slab, steps = self._drain(self.params, self._state)
