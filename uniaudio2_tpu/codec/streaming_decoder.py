@@ -47,8 +47,12 @@ class StreamingCodecDecoder:
 
     def __init__(self, params: Params, cfg: CodecConfig, *,
                  num_steps: int = 10, guidance_scale: float = 1.5,
-                 seed: int = 0):
-        self._dec = CodecDecoder(params, cfg)
+                 seed: int = 0, decoder: "Optional[CodecDecoder]" = None):
+        # ``decoder`` lets successive streams share one CodecDecoder (and
+        # its jitted chunk/SQ programs) — a StreamingCodecDecoder is
+        # single-use (feed...flush), the compiled programs are not
+        self._dec = decoder if decoder is not None else CodecDecoder(
+            params, cfg)
         self.cfg = cfg
         self.num_steps = num_steps
         self.guidance_scale = guidance_scale

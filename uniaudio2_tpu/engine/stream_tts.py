@@ -42,11 +42,24 @@ def stream_tts(
     num_steps: int = 10,
     guidance_scale: float = 1.5,
     codec_seed: int = 0,
+    window_seconds: Optional[float] = None,
 ) -> Iterator[np.ndarray]:
     """Yield finalized waveform chunks (1, n) float32 as generation
     proceeds. ``grid``/``mask`` come from `engine/tasks.py::prepare_tts`.
+
+    ``window_seconds`` overrides the codec chunk window for this stream —
+    the LOW-LATENCY profile (docs/stream_tts_r5.md): time-to-first-audio
+    is dominated by filling the first codec window (default 30 s x
+    12.5 Hz = 375 semantic frames), so an 8 s window cuts TTFA ~4x at the
+    cost of less acoustic context per solve. Short windows are on the
+    reference path already (fractional windows for short clips,
+    decoder.py:273-282); `None` keeps the offline-bit-identical default.
     """
     card = llm_engine.cfg.tokens.audio_reason_card
+    if window_seconds is not None:
+        import dataclasses
+        codec_cfg = dataclasses.replace(codec_cfg,
+                                        window_seconds=float(window_seconds))
     sd = StreamingCodecDecoder(
         codec_params, codec_cfg, num_steps=num_steps,
         guidance_scale=guidance_scale, seed=codec_seed)
