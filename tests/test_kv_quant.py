@@ -243,3 +243,57 @@ class TestEngine:
                 break
             agree += 1
         assert n == 0 or agree >= 1
+
+
+class TestContinuousInt8:
+    def test_single_request_matches_decode_engine(self, tiny_setup):
+        """A request admitted at the fresh position (pos=bucket) has the
+        exact absolute-position geometry of the standalone engine, so with
+        the same int8 cache the greedy stream is bit-identical."""
+        from uniaudio2_tpu.engine import tasks
+        from uniaudio2_tpu.engine.continuous import ContinuousEngine
+        from uniaudio2_tpu.engine.decode import DecodeEngine
+        cfg, params = tiny_setup
+        g, m = tasks.prepare_tts(np.array([1, 5, 6]), np.array([1, 10, 2]),
+                                 cfg.tokens)
+        ref = DecodeEngine(params, cfg, max_frames=8, buckets=(32,),
+                           cache_dtype=jnp.float32, kv_quant="on")
+        exp = np.asarray(ref.generate_text(g, m, topk=1))
+        ce = ContinuousEngine(
+            params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+            cache_len=256, max_frames=8, topk=1,
+            cache_dtype=jnp.float32, kv_quant="on")
+        assert isinstance(ce._state.caches.backbone.k[0]
+                          if isinstance(ce._state.caches.backbone.k, list)
+                          else ce._state.caches.backbone.k, QuantKV)
+        rid = ce.submit(g, m)
+        out = ce.run_until_drained()[rid]
+        np.testing.assert_array_equal(out, exp)
+
+    def test_ladder_invariance_under_int8(self, tiny_setup):
+        """Segmentation invariance holds under the quantized cache too:
+        the same per-frame op sequence runs regardless of boundaries, so
+        ladder settings agree bit-for-bit (3 requests / 2 rows exercises
+        refill-into-running-batch and the reactive program)."""
+        from uniaudio2_tpu.engine import tasks
+        from uniaudio2_tpu.engine.continuous import ContinuousEngine
+        cfg, params = tiny_setup
+        reqs = [tasks.prepare_tts(np.array([1 + i, 5, 6]),
+                                  np.array([1, 10 + i, 2]), cfg.tokens)
+                for i in range(3)]
+
+        def run(ladder):
+            ce = ContinuousEngine(
+                params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+                cache_len=256, max_frames=8, topk=1,
+                cache_dtype=jnp.float32, kv_quant="on", seg_ladder=ladder)
+            rids = [ce.submit(g, m) for g, m in reqs]
+            results = {}
+            for _ in range(100):
+                results.update(ce.step_online())
+                if len(results) == len(rids):
+                    break
+            return [results[r] for r in rids]
+
+        for a, b in zip(run("off"), run("auto")):
+            np.testing.assert_array_equal(a, b)

@@ -64,6 +64,7 @@ from uniaudio2_tpu.engine.decode import PHASE_DROPPED, PHASE_REASON, \
     PHASE_SEMANTIC, split_two_phase
 from uniaudio2_tpu.models import unified
 from uniaudio2_tpu.models.unified import UnifiedCaches
+from uniaudio2_tpu.ops.kv_cache import QuantKV
 
 Params = Dict[str, Any]
 
@@ -98,20 +99,32 @@ def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
     valid_from_row = s.pos - length + 1     # first real-token position
     key_valid_row = (slot_idx[None, :] >= valid_from_row)[..., :]
 
-    def _row_slice(a):
-        # stacked (L, B, G, S, hd) -> batch axis 1; list leaf (B, ...) -> 0
-        return jax.lax.dynamic_slice_in_dim(
-            a, row, 1, axis=1 if a.ndim == 5 else 0)
+    def _row_slice(a, batch_axis):
+        return jax.lax.dynamic_slice_in_dim(a, row, 1, axis=batch_axis)
 
-    def _row_splice(a, p):
-        return jax.lax.dynamic_update_slice_in_dim(
-            a, p, row, axis=1 if a.ndim == 5 else 0)
+    def _row_splice(a, p, batch_axis):
+        return jax.lax.dynamic_update_slice_in_dim(a, p, row,
+                                                   axis=batch_axis)
+
+    # batch axis: values (…, B, G, S, hd) -> ndim-4; QuantKV scales drop
+    # the trailing head axis -> ndim-3 (stacked and per-layer list forms)
+    def _entry(op):
+        def apply(e, *rest):
+            if isinstance(e, QuantKV):
+                return QuantKV(
+                    op(e.q, *(r.q for r in rest), e.q.ndim - 4),
+                    op(e.s, *(r.s for r in rest), e.s.ndim - 3))
+            return op(e, *rest, e.ndim - 4)
+        return apply
 
     def slice_cache(c):
-        return jax.tree_util.tree_map(_row_slice, c)
+        return jax.tree_util.tree_map(
+            _entry(_row_slice), c, is_leaf=lambda x: isinstance(x, QuantKV))
 
     def splice_cache(full, part):
-        return jax.tree_util.tree_map(_row_splice, full, part)
+        return jax.tree_util.tree_map(
+            _entry(_row_splice), full, part,
+            is_leaf=lambda x: isinstance(x, QuantKV))
 
     row_caches = slice_cache(s.caches)
     # run the bucket-1 prompt prefix through the decode path at offset
@@ -506,7 +519,8 @@ class ContinuousEngine:
                  use_cfg: bool = False, cfg_scale: float = 1.0,
                  cache_dtype=jnp.bfloat16,
                  attn_block: "Optional[int]" = None,
-                 seg_ladder: "Optional[str]" = None):
+                 seg_ladder: "Optional[str]" = None,
+                 kv_quant: "Optional[str]" = None):
         assert mode in ("text", "audio")
         if use_cfg:
             assert mode == "audio", "CFG guides audio generation (TTS/TTA)"
@@ -540,8 +554,16 @@ class ContinuousEngine:
             import os as _os
             env = _os.environ.get("UA2_ATTN_BLOCK", "auto")
             attn_block = -1 if env == "auto" else int(env)
-        from uniaudio2_tpu.engine.decode import resolve_attn_block
+        from uniaudio2_tpu.engine.decode import (
+            resolve_attn_block, resolve_kv_quant,
+        )
         self.attn_block = resolve_attn_block(int(attn_block), cache_len)
+        # int8 KV cache, same per-program policy as DecodeEngine (measured
+        # AUTO: on at batch >= 8 or cache >= 512 — docs/kv_quant_r5.md);
+        # the online rows=8/cache-1024 config is squarely in the win region
+        # and halves the cache footprint per row
+        cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype,
+                                       batch=rows)
         # Adaptive segment ladder (round-5 TTFT-tail lever,
         # docs/serving_latency_r5.md): the scheduler picks a segment length
         # per boundary — SHORT right after an admission (the new request's
