@@ -172,3 +172,34 @@ def test_fit_spec_to_mesh_indivisible_dims():
     params = unified.init_params(jax.random.PRNGKey(0), cfg)
     sharded = meshlib.shard_params(params, m)
     jax.block_until_ready(sharded)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_serving_int8_kv_matches_single_device():
+    """The int8 KV cache under TP sharding (QuantKV-aware
+    `_shard_caches`: values on the kv-group axis, scales follow with the
+    trailing head axis dropped) must reproduce the unsharded int8 greedy
+    stream exactly — quantization is deterministic and per-head local, so
+    head sharding cannot change the rounded values."""
+    from uniaudio2_tpu.engine import tasks
+    from uniaudio2_tpu.engine.decode import DecodeEngine
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    g, m1 = tasks.prepare_tts(np.array([1, 5, 6]), np.array([1, 10, 2]),
+                              cfg.tokens)
+
+    plain = DecodeEngine(params, cfg, max_frames=6,
+                         cache_dtype=jnp.float32, buckets=(32,),
+                         kv_quant="on")
+    exp_text = np.asarray(plain.generate_text(g, m1, topk=1))
+
+    mesh = meshlib.build_mesh(fsdp=4, tp=2)
+    sharded = DecodeEngine(params, cfg, max_frames=6,
+                           cache_dtype=jnp.float32, buckets=(32,),
+                           mesh=mesh, use_tp=True, kv_quant="on")
+    np.testing.assert_array_equal(
+        np.asarray(sharded.generate_text(g, m1, topk=1)), exp_text)
+    batch = sharded.generate_text_batch([(g, m1)] * 3, topk=1)
+    for row in batch:
+        np.testing.assert_array_equal(np.asarray(row), exp_text)
