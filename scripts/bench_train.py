@@ -74,6 +74,13 @@ def main(argv=None):
                         "training is the sharded path.")
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat-backbone", type=int, default=None,
+                   help="selective remat: checkpoint only K backbone "
+                        "layers (the rest store activations). Spare-HBM "
+                        "-> MFU trade (docs/bench_train_r5.md)")
+    p.add_argument("--no-remat-small", action="store_true",
+                   help="store activations in the small stacks (experts + "
+                        "local decoder) instead of rematting them")
     p.add_argument("--no-chunked-ce", action="store_true",
                    help="dense logits CE (the chunked logit-free CE is the "
                         "default; it removes the (B*S, V) logit temps)")
@@ -149,6 +156,9 @@ def main(argv=None):
     step_fn = jax.jit(
         trainer.build_train_step(cfg, tx, prefix_lm=True,
                                  remat=not args.no_remat,
+                                 remat_backbone=args.remat_backbone,
+                                 remat_small=(False if args.no_remat_small
+                                              else None),
                                  chunked_ce=not args.no_chunked_ce,
                                  audio_capacity=args.audio_capacity),
         donate_argnums=(0,),
@@ -211,6 +221,8 @@ def main(argv=None):
             "backbone_layers": cfg.backbone.n_layer, "batch": b, "seq": s,
             "remat": not args.no_remat, "accum": args.accum,
             "optimizer": args.optimizer, "padded_vocab": args.vocab,
+            "remat_backbone": args.remat_backbone,
+            "remat_small": not args.no_remat_small,
             "chunked_ce": not args.no_chunked_ce,
             "audio_capacity": args.audio_capacity,
             "vocab_scaled": args.vocab != 128256,

@@ -208,3 +208,50 @@ def test_train_cli_end_to_end(tmp_path, tiny_dataset, optimizer):
         "--print_freq", "1", "--optimizer", optimizer,
     ])
     assert os.path.isdir(os.path.join(exp, "ep0.checkpoint"))
+
+
+def test_selective_remat_matches_full_remat():
+    """Selective remat (k of n backbone layers + no-remat small stacks)
+    is a pure memory/time trade: loss and grads match the full-remat
+    step (checkpointing recomputes the identical ops)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uniaudio2_tpu.config import UnifiedModelConfig
+    from uniaudio2_tpu.models import unified
+    from uniaudio2_tpu.train import trainer, schedule
+
+    cfg = UnifiedModelConfig.tiny()
+    params = unified.init_params(jax.random.PRNGKey(0), cfg)
+    tx = trainer.make_optimizer(schedule.warmup_lr(1e-4, warmup_steps=10))
+
+    b, s = 2, 16
+    par = cfg.tokens.parallel_number
+    ncb = cfg.tokens.num_codebooks
+    r = np.random.default_rng(0)
+    grid = r.integers(0, 50, size=(b, s + 1, par)).astype(np.int32)
+    gmask = np.zeros((b, s + 1, par), bool)
+    gmask[:, : s // 2, -1] = True
+    gmask[:, s // 2 :, :ncb] = True
+    tmask = np.zeros((b, s), bool)
+    tmask[:, 1 : s // 2] = True
+    amask = np.zeros((b, s), bool)
+    amask[:, s // 2 : s - 1] = True
+    batch = trainer.Batch(
+        grid=jnp.asarray(grid), grid_mask=jnp.asarray(gmask),
+        text_loss_mask=jnp.asarray(tmask), audio_loss_mask=jnp.asarray(amask))
+
+    def run(**kw):
+        step = jax.jit(trainer.build_train_step(cfg, tx, prefix_lm=True,
+                                                remat=True, **kw))
+        state = trainer.init_train_state(params, tx)
+        state, metrics = step(state, batch)
+        return float(metrics["loss"]), state.params
+
+    loss_full, p_full = run()
+    loss_sel, p_sel = run(remat_backbone=1, remat_small=False)
+    assert abs(loss_full - loss_sel) < 1e-5
+    for a, b_ in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_sel)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=2e-4, atol=2e-5)

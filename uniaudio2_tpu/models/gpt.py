@@ -267,7 +267,7 @@ def forward(
     *,
     positions: Optional[jax.Array] = None,
     extra_mask: Optional[jax.Array] = None,
-    remat: bool = False,
+    remat: "bool | int" = False,
 ) -> jax.Array:
     """Full-sequence forward over continuous features ``x`` (B, S, D).
 
@@ -281,6 +281,13 @@ def forward(
     `jax.checkpoint` around the whole forward still materialises every
     layer's intermediates simultaneously during the recompute, which is
     what capped the single-chip train batch — docs/bench_train_r3.md).
+
+    SELECTIVE remat (r4 VERDICT item 7): an int ``remat`` checkpoints only
+    the FIRST k layers and stores the rest's internals — the single-chip
+    route to trading spare HBM back into MFU (each non-rematted layer
+    skips one forward recompute in backward). Which k is immaterial
+    (per-layer footprints are uniform); first-k keeps the stacked scan
+    form as two scans. ``True`` ≡ all layers, ``False``/0 ≡ none.
     """
     b, s, d = x.shape
     # With explicit positions, bound the table by the model's practical
@@ -307,14 +314,26 @@ def forward(
         xc = xc + _mlp(layer, hn, cfg)
         return xc, None
 
-    if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+    n_layers = (len(params["layers"]) if isinstance(params["layers"], list)
+                else cfg.n_layer)
+    k = (n_layers if remat is True
+         else 0 if remat is False
+         else max(0, min(int(remat), n_layers)))
+    ckpt_fn = jax.checkpoint(layer_fn) if k else layer_fn
     if isinstance(params["layers"], list):  # unrolled serving form
         for i, layer in enumerate(params["layers"]):
-            x, _ = layer_fn(x, (layer, wins[i]) if wins is not None else layer)
-    else:
+            fn = ckpt_fn if i < k else layer_fn
+            x, _ = fn(x, (layer, wins[i]) if wins is not None else layer)
+    elif k in (0, n_layers):
         xs = (params["layers"], wins) if wins is not None else params["layers"]
-        x, _ = jax.lax.scan(layer_fn, x, xs)
+        x, _ = jax.lax.scan(ckpt_fn if k else layer_fn, x, xs)
+    else:
+        # selective: scan the first k layers rematted, the rest stored
+        def part(lo, hi):
+            sl = jax.tree_util.tree_map(lambda a: a[lo:hi], params["layers"])
+            return (sl, wins[lo:hi]) if wins is not None else sl
+        x, _ = jax.lax.scan(ckpt_fn, x, part(0, k))
+        x, _ = jax.lax.scan(layer_fn, x, part(k, n_layers))
     return rms_norm(x, params["ln_f_w"], cfg.norm_eps)
 
 

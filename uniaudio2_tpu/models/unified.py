@@ -311,6 +311,8 @@ def forward(
     extra_mask: Optional[jax.Array] = None,
     return_hidden: bool = False,
     remat_layers: bool = False,
+    remat_backbone: "Optional[int]" = None,
+    remat_small: Optional[bool] = None,
     decoder_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Training forward.
@@ -340,6 +342,13 @@ def forward(
             `[:, :-1]` for inputs, `model_new.py:424-428`).
         remat_layers: per-layer activation checkpointing in every
             transformer stack (see `gpt.forward`).
+        remat_backbone: override for the BACKBONE stack only — an int
+            checkpoints that many of its layers (selective remat,
+            `gpt.forward`); None follows ``remat_layers``.
+        remat_small: override for the small stacks (experts + local
+            decoder); None follows ``remat_layers``. The selective-remat
+            sweep (docs/bench_train_r5.md) trades spare HBM back into MFU
+            through these two knobs.
         return_hidden: return pre-head hidden states instead of logits —
             ``(h_final (B, S, D), dec_h (B·S, 8, D_dec))`` — for the
             chunked (logit-free) CE path (`train/chunked_ce.py`).
@@ -347,20 +356,22 @@ def forward(
         text_logits (B, S, V_text), audio_logits (B, S, 8, V_audio) —
         or the hidden-state pair under ``return_hidden``.
     """
+    remat_bb = remat_layers if remat_backbone is None else remat_backbone
+    remat_sm = remat_layers if remat_small is None else remat_small
     in_mask = tokens_mask[:, :-1, :]
     audio_input, text_embeds, a_mask, t_mask = _fuse_input(
         params, cfg, tokens, in_mask
     )
     h_audio = gpt.forward(
         params["understanding_expert"], cfg.understanding_expert, audio_input,
-        extra_mask=extra_mask, remat=remat_layers,
+        extra_mask=extra_mask, remat=remat_sm,
     )
     backbone_input = h_audio * a_mask + text_embeds * t_mask
     h = gpt.forward(params["backbone"], cfg.backbone, backbone_input,
-                    extra_mask=extra_mask, remat=remat_layers)
+                    extra_mask=extra_mask, remat=remat_bb)
     h_gen = gpt.forward(
         params["generation_expert"], cfg.generation_expert, h * a_mask,
-        extra_mask=extra_mask, remat=remat_layers,
+        extra_mask=extra_mask, remat=remat_sm,
     )
     h_final = h_gen * a_mask + h * t_mask
     dec_in, dec_labels = h_final, labels
@@ -371,7 +382,7 @@ def forward(
     if return_hidden:
         dec_h = _local_decoder_teacher_forced(
             params, cfg, dec_in, dec_labels, return_hidden=True,
-            remat=remat_layers)
+            remat=remat_sm)
         return h_final, dec_h
     text_logits = gpt.lm_head(params["backbone"], h_final, cfg.backbone)
 

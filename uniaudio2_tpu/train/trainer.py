@@ -139,6 +139,8 @@ def loss_fn(
     residual_weights: Sequence[float] = (1.0,) * 7,
     chunked_ce: bool = True,
     remat: bool = False,
+    remat_backbone: Optional[int] = None,
+    remat_small: Optional[bool] = None,
     audio_capacity: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """``chunked_ce`` (default) computes both CE losses from hidden states
@@ -184,6 +186,7 @@ def loss_fn(
         h_final, dec_h = unified.forward(
             params, cfg, tokens, audio_labels, batch.grid_mask,
             extra_mask=extra_mask, return_hidden=True, remat_layers=remat,
+            remat_backbone=remat_backbone, remat_small=remat_small,
             decoder_positions=dec_pos,
         )
         loss, metrics = losses.unified_loss_fused(
@@ -211,6 +214,8 @@ def build_train_step(
     prefix_lm: bool = False,
     residual_weights: Sequence[float] = (1.0,) * 7,
     remat: bool = True,
+    remat_backbone: Optional[int] = None,
+    remat_small: Optional[bool] = None,
     chunked_ce: bool = True,
     audio_capacity: Optional[int] = None,
 ):
@@ -218,6 +223,10 @@ def build_train_step(
 
     ``remat`` wraps the loss in `jax.checkpoint` (activation checkpointing,
     reference `--activation-checkpointing`, `arguments.py:68`).
+    ``remat_backbone`` / ``remat_small`` (fused path only): selective
+    overrides — checkpoint only k backbone layers / disable remat on the
+    small stacks, trading spare HBM back into MFU (the r5 sweep,
+    docs/bench_train_r5.md; see `unified.forward`).
     ``chunked_ce``: see `loss_fn`.
     ``audio_capacity``: static per-row audio-step capacity; runs the local
     decoder + audio CE only on gathered audio rows (`audio_gather_indices`)
@@ -234,6 +243,8 @@ def build_train_step(
             params, cfg, batch, prefix_lm=prefix_lm,
             residual_weights=residual_weights, chunked_ce=chunked_ce,
             remat=remat and fused,
+            remat_backbone=remat_backbone if fused else None,
+            remat_small=remat_small if fused else None,
             audio_capacity=audio_capacity if fused else None,
         )
 
