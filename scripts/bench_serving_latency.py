@@ -60,6 +60,10 @@ def main(argv=None):
     p.add_argument("--ladder", default="auto",
                    help="segment ladder: auto | off | '2,4,8' "
                         "(r5 TTFT-tail lever; 'off' = fixed r4 behavior)")
+    p.add_argument("--diag", action="store_true",
+                   help="per-step timing classified by scheduler program + "
+                        "worst-request TTFT decomposition (straggler hunt)")
+    p.add_argument("--skip-floor", action="store_true")
     args = p.parse_args(argv)
 
     tiny = os.environ.get("UA2_BENCH_SCALE") == "tiny"
@@ -123,24 +127,28 @@ def main(argv=None):
         return eng
 
     # ---- batch-1 isolated floor -------------------------------------------
-    eng1 = fresh_engine(1)
-    g, m = make_request(-1)
-    eng1.submit(g, m)                       # warmup: compiles segment+drain
-    eng1.run_until_drained()
-    eng1.timings.clear()
-    g, m = make_request(-2)
-    rid = eng1.submit(g, m)
-    eng1.run_until_drained()
-    t = eng1.timings[rid]
-    floor = {
-        "metric": "serving_batch1_floor",
-        "ttft_ms": round(1e3 * (t["first"] - t["submitted"]), 1),
-        "tpot_ms": round(1e3 * (t["done"] - t["first"])
-                         / max(t["frames"] - 1, 1), 2),
-        "seg_frames": args.seg_frames,
-    }
-    print(json.dumps(floor), flush=True)
-    del eng1
+    if args.skip_floor:
+        eng1 = None
+    else:
+        eng1 = fresh_engine(1)
+    if eng1 is not None:
+        g, m = make_request(-1)
+        eng1.submit(g, m)                   # warmup: compiles segment+drain
+        eng1.run_until_drained()
+        eng1.timings.clear()
+        g, m = make_request(-2)
+        rid = eng1.submit(g, m)
+        eng1.run_until_drained()
+        t = eng1.timings[rid]
+        floor = {
+            "metric": "serving_batch1_floor",
+            "ttft_ms": round(1e3 * (t["first"] - t["submitted"]), 1),
+            "tpot_ms": round(1e3 * (t["done"] - t["first"])
+                             / max(t["frames"] - 1, 1), 2),
+            "seg_frames": args.seg_frames,
+        }
+        print(json.dumps(floor), flush=True)
+        del eng1
 
     # ---- Poisson load sweep ------------------------------------------------
     eng = fresh_engine(args.rows)
@@ -162,13 +170,25 @@ def main(argv=None):
         submitted = 0
         done = 0
         rids = []
+        steps = []      # (t_start, dur_s, kind) per step_online call (--diag)
         while done < args.requests:
             now = time.monotonic() - t0
             while submitted < args.requests and arrivals[submitted] <= now:
                 g, m = reqs[submitted]
                 rids.append(eng.submit(g, m))
                 submitted += 1
-            out = eng.step_online()
+            if args.diag:
+                pre = dict(eng.stats)
+                pre_pos = eng._pos_host
+                t_call = time.monotonic()
+                out = eng.step_online()
+                dur = time.monotonic() - t_call
+                kind = ";".join(f"{k}+{eng.stats[k] - pre[k]}"
+                                for k in eng.stats if eng.stats[k] > pre[k])
+                steps.append((t_call - t0, dur,
+                              f"{kind or 'idle'} d_pos={eng._pos_host - pre_pos}"))
+            else:
+                out = eng.step_online()
             done += len(out)
             if not out and submitted < args.requests and not any(
                     s.request_id >= 0 for s in eng._slots) \
@@ -195,8 +215,24 @@ def main(argv=None):
             "makespan_s": round(makespan, 2),
             "segments": eng.stats["segments"],
             "reactive": eng.stats["reactive"],
+            "resets": eng.stats["resets"],
+            "drains": eng.stats["drains"],
             "ladder": list(eng.seg_ladder),
         }), flush=True)
+        if args.diag:
+            worst = sorted(steps, key=lambda s: -s[1])[:12]
+            for tt, dur, kind in sorted(worst):
+                print(f"  step t={tt:8.3f}s dur={1e3 * dur:8.1f}ms  {kind}",
+                      flush=True)
+            by_ttft = sorted(
+                (t for t in ts if "first" in t),
+                key=lambda t: t["submitted"] - t["first"])[:6]
+            for t in by_ttft:
+                sub = t["submitted"] - t0
+                adm = t.get("admitted", float("nan")) - t["submitted"]
+                fst = t["first"] - t["submitted"]
+                print(f"  req submit={sub:8.3f}s wait_admit={1e3*adm:7.1f}ms "
+                      f"ttft={1e3*fst:7.1f}ms", flush=True)
     return 0
 
 

@@ -818,6 +818,13 @@ class ContinuousEngine:
         busy = any(s.request_id >= 0 for s in self._slots)
         if not refills and not busy:
             if self._queue.empty():
+                if self._remaining() < self.max_frames:
+                    # proactive: refresh a nearly-spent window while idle
+                    # (the caller sleeps anyway) so the next arrival admits
+                    # instantly instead of paying the reset on its TTFT
+                    self._state = self._fresh_state(self._cache_dtype)
+                    self._pos_host = self.bucket
+                    self.stats["resets"] += 1
                 return {}
             # queued work exists but is not admissible at this position
             # (cache budget spent): reset the window and retry next call
@@ -825,12 +832,22 @@ class ContinuousEngine:
             self._pos_host = self.bucket
             self.stats["resets"] += 1
             return {}
-        if self._reactive is not None and not refills \
-                and not self._queue.empty():
-            # a request is waiting on a row: decode reactively so the
-            # row-free event surfaces at the exact frame it happens
-            if not self._run_reactive():
-                self._run_segment(refills, self.seg_ladder[-1])
+        if not refills and not self._queue.empty():
+            head: _Request = self._queue.queue[0]
+            if self._remaining() < head.max_frames:
+                # budget-blocked: nothing admits until the window resets.
+                # Fast-forward the in-flight rows in ONE compiled drain
+                # (no per-segment host round trips), then the next call
+                # resets and admits — the r4 TTFT-p99 drain-wait straggler
+                # (docs/serving_latency_r5.md)
+                self._run_drain()
+            elif self._reactive is not None:
+                # row-blocked: decode reactively so the row-free event
+                # surfaces at the exact frame it happens
+                if not self._run_reactive():
+                    self._run_segment(refills, self.seg_ladder[-1])
+            else:
+                self._run_segment(refills, self._pick_seg(refills))
         else:
             self._run_segment(refills, self._pick_seg(refills))
         done, self._results = self._results, {}
@@ -879,6 +896,9 @@ class ContinuousEngine:
                                    max_frames=req.max_frames)
             refills.append((r, req))
             self.stats["refills"] += 1
+            t = self.timings.get(req.rid)
+            if t is not None:   # admission wait = admitted - submitted
+                t["admitted"] = time.monotonic()
         return refills
 
     def _refill_args(self, refills):
@@ -938,18 +958,26 @@ class ContinuousEngine:
         return steps > 0
 
     def warmup(self) -> None:
-        """AOT-compile every scheduler program (all ladder segments, the
-        reactive segment, the drain) so online latency percentiles never
-        pay a lazy compile mid-measurement."""
-        absarg = lambda t: jax.tree_util.tree_map(  # noqa: E731
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
-        p_abs, s_abs = absarg(self.params), absarg(self._state)
-        r_abs = absarg(self._refill_args([]))
+        """Execute every scheduler program once (all ladder segments, the
+        reactive segment, the drain) with no active rows, then reset the
+        window. AOT ``lower().compile()`` alone is NOT enough: the first
+        real ``__call__`` of each program still pays dispatch setup
+        (re-trace + executable bind — ~70 ms on CPU, 1-2 s through the
+        remote-TPU tunnel), which surfaced as TTFT p99 stragglers in the
+        r5 ladder A/B (docs/serving_latency_r5.md). Running each program
+        on live state moves that cost off the latency clock."""
+        r = self._refill_args([])
         for fn in self._segments.values():
-            fn.lower(p_abs, s_abs, *r_abs).compile()
+            self._state, slab = fn(self.params, self._state, *r)
+            np.asarray(slab)
         if self._reactive is not None:
-            self._reactive.lower(p_abs, s_abs).compile()
-        self._drain.lower(p_abs, s_abs).compile()
+            self._state, slab, _ = self._reactive(self.params, self._state)
+            np.asarray(slab)
+        self._state, slab, _ = self._drain(self.params, self._state)
+        np.asarray(slab)
+        # the no-op segments advanced pos/PRNG: restore a fresh window
+        self._state = self._fresh_state(self._cache_dtype)
+        self._pos_host = self.bucket
 
     def _run_drain(self):
         self._state, slab, steps = self._drain(self.params, self._state)
