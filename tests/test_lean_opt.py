@@ -166,10 +166,10 @@ def test_fused_tile_sizes():
     assert lean_update.tile_sizes(2048, 12300) is None  # audio-head leaf
     for r, c in [(3072, 8192), (98400, 3072), (32256, 3072), (24, 512)]:
         tr, tc = lean_update.tile_sizes(r, c)
-        # blocks span full rows (Mosaic full-lane rule, module docstring)
-        assert tc == c and r % tr == 0
-        assert tr == r or (tr * tc <= lean_update._TILE_ELEMS
-                           and tr % 8 == 0)
+        # one 256-wide quant block per grid step (module docstring): the
+        # block walk rides the innermost grid dim, so tc is always QBLOCK
+        assert tc == lean_update.QBLOCK and r % tr == 0
+        assert tr == r or (tr <= lean_update._TILE_ROWS and tr % 8 == 0)
 
 
 def test_fused_convex_tracking():

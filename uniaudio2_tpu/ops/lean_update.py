@@ -27,16 +27,20 @@ Traffic: read g(2) + m_q(1) + p(2), write upd(2) + m_q'(1) + scales
 the unfused chain's measured ~5x that. All VPU work — no dot_general, no
 narrow-int shifts (the Mosaic-wedge classes, see the verify skill).
 
-Layout: blocks span FULL rows — block (1, tr, C) over the leaf collapsed
-to (B, R, C), grid (B, R/tr). Full-width lane dims keep every BlockSpec
-legal under Mosaic's lane rule (lane dim divisible by 128 or equal to
-the array dim, and likewise for the sublane dim with 8 — the
-per-256-block scale arrays and the row/col rsqrt factors can't satisfy
-the divisibility arms, so they ride as (1, tr, C/256), (1, 1, 1, tr) and
-(1, 1, C) blocks whose trailing dims equal the array dims). The 256-wide quant blocks are
-walked as unrolled static lane-slices inside the tile, so no lane-dim
-reshape is needed. Leaves whose last dim is not divisible by 256 (one
-12300-wide audio-head leaf at the bench geometry) keep the XLA path.
+Layout — one 256-wide quant block per grid step: the leaf collapses to
+(B, R, C) and the grid is (B, R/tr, C/256) with data blocks (1, tr, 256).
+The quant-block walk rides the INNERMOST GRID DIM, not an unrolled loop
+in the kernel body: Mosaic compile time was measured (r5 probes) at
+~6.4 s per unrolled 256-block slice in the body (the first design spent
+~2 min compiling a cols=5120 leaf and the full train step ~35 min across
+its ~24 leaf geometries), while a body with a single block compiles in
+~2 s regardless of C. An SMEM scalar BlockSpec costs another +60-85 s per
+module, so the two step scalars ride in a (1, 2) f32 VMEM block instead.
+Per-block scale vectors use trailing (tr, 1) block dims — sublane=tr and
+lane=1 both hit Mosaic's equal-to-array-dim arm, and the (tr,) vector is
+used as a (tr, 1) broadcast directly, no in-kernel transpose. The tiny
+XLA-side transposes that produce the (B, C/256, R/tr, tr, 1) scale layout
+move R*C/256 elements — noise next to the leaf itself.
 
 Reference match: TPU-native optimization of the training capability at
 `llm_utils/train_utils.py:109-205`; no reference counterpart (the
@@ -52,56 +56,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 QBLOCK = 256          # must equal lean_opt.M_BLOCK
-_TILE_ELEMS = 262144  # tr*C cap: ~7 MB/block in flight at ~28 bytes/elem
+_TILE_ROWS = 1024     # tr cap: ~1 MB/f32 data block at 256 lanes
 
 
 def tile_sizes(rows: int, cols: int) -> Optional[Tuple[int, int]]:
-    """(tr, cols) with tr dividing rows, or None when the leaf cannot be
-    tiled (fall back to the XLA path). Blocks span full rows (see module
-    docstring); tr is the full row count when it fits the element cap
-    (always Mosaic-legal), else the largest multiple-of-8 divisor."""
+    """(tr, QBLOCK) with tr dividing rows, or None when the leaf cannot
+    be tiled (fall back to the XLA path). tr is the full row count when
+    rows <= the cap (always Mosaic-legal via the equal-to-array-dim arm),
+    else the largest multiple-of-8 divisor <= the cap."""
     if cols % QBLOCK != 0:
         return None
-    cap = max(_TILE_ELEMS // cols, 8)
-    if rows <= cap:
-        return rows, cols
-    tr = cap - cap % 8
+    if rows <= _TILE_ROWS:
+        return rows, QBLOCK
+    tr = _TILE_ROWS
     while tr >= 8:
         if rows % tr == 0:
-            return tr, cols
+            return tr, QBLOCK
         tr -= 8
     return None
 
 
 def _kernel(s_ref, g_ref, mq_ref, ms_ref, p_ref, a_ref, b_ref,
-            upd_ref, nmq_ref, nms_ref, *, nsb: int,
+            upd_ref, nmq_ref, nms_ref, *,
             b1: float, wd: float, eps: float):
-    inv_mc = s_ref[0]
-    lr = s_ref[1]
-    gf = g_ref[0].astype(jnp.float32)            # (tr, C)
+    inv_mc = s_ref[0, 0]
+    lr = s_ref[0, 1]
+    gf = g_ref[0].astype(jnp.float32)            # (tr, 256)
     mq = mq_ref[0].astype(jnp.float32)
     pf = p_ref[0].astype(jnp.float32)
-    ms = ms_ref[0]                               # (tr, nsb)
-    af = a_ref[0, 0, 0]                          # (tr,)
-    bf = b_ref[0, 0]                             # (C,)
-    tr = gf.shape[0]
-    acol = af.reshape(tr, 1)
-    scales = []
-    for k in range(nsb):
-        sl = slice(k * QBLOCK, (k + 1) * QBLOCK)
-        msk = ms[:, k:k + 1]                     # (tr, 1)
-        m = b1 * mq[:, sl] * msk + (1.0 - b1) * gf[:, sl]
-        denom = acol * bf[sl].reshape(1, QBLOCK) + eps
-        upd = m * inv_mc / denom + wd * pf[:, sl]
-        upd_ref[0, :, sl] = (-lr * upd).astype(upd_ref.dtype)
-        ns = (jnp.max(jnp.abs(m), axis=-1) / 127.0).reshape(tr, 1)
-        scales.append(ns)
-        q = jnp.round(m / jnp.maximum(ns, 1e-30))
-        nmq_ref[0, :, sl] = q.astype(jnp.int8)
-    nms_ref[0] = jnp.concatenate(scales, axis=1)
+    ms = ms_ref[0, 0, 0]                         # (tr, 1)
+    acol = a_ref[0, 0, 0]                        # (tr, 1)
+    brow = b_ref[0, 0, 0].reshape(1, QBLOCK)     # (1, 256)
+    m = b1 * mq * ms + (1.0 - b1) * gf
+    upd = m * inv_mc / (acol * brow + eps) + wd * pf
+    upd_ref[0] = (-lr * upd).astype(upd_ref.dtype)
+    ns = jnp.max(jnp.abs(m), axis=-1, keepdims=True) / 127.0  # (tr, 1)
+    nmq_ref[0] = jnp.round(m / jnp.maximum(ns, 1e-30)).astype(jnp.int8)
+    nms_ref[0, 0, 0] = ns
 
 
 def fused_lean_update(
@@ -131,43 +124,52 @@ def fused_lean_update(
         raise ValueError(f"untileable leaf {shape}")
     tr, _ = tiles
     nsb = cols // QBLOCK
+    nrt = rows // tr
     g3 = g.reshape(lead, rows, cols)
     mq3 = m_q.reshape(lead, rows, cols)
-    ms3 = m_scale.astype(jnp.float32).reshape(lead, rows, nsb)
     p3 = p.reshape(lead, rows, cols)
-    # Mosaic's block rule requires the last TWO block dims to be divisible
-    # by (8, 128) or equal to the array dims; the small factor arrays ride
-    # with trailing singleton dims so both trailing dims hit the
-    # equal-to-array arm: a -> (B, R/tr, 1, tr), b -> (B, 1, C).
-    a4 = a.astype(jnp.float32).reshape(lead, rows // tr, 1, tr)
-    b3 = b.astype(jnp.float32).reshape(lead, 1, cols)
+    # Scale layout: (B, R, nsb) -> (B, nsb, R/tr, tr, 1) so the per-grid-
+    # step block is (1, 1, 1, tr, 1) — trailing dims (tr, 1) are legal via
+    # the equal-to-array arm and land in the kernel as a (tr, 1) operand.
+    ms5 = (m_scale.astype(jnp.float32).reshape(lead, nrt, tr, nsb)
+           .transpose(0, 3, 1, 2)[..., None])
+    # Row factors a: (B, R) -> (B, R/tr, 1, tr, 1); col factors b:
+    # (B, C) -> (B, C/256, 256) so each grid step reads its 256-slice.
+    a5 = a.astype(jnp.float32).reshape(lead, nrt, 1, tr, 1)
+    b4 = b.astype(jnp.float32).reshape(lead, nsb, 1, QBLOCK)
     scalars = jnp.stack([
-        jnp.asarray(inv_mc, jnp.float32), jnp.asarray(lr, jnp.float32)])
-    grid = (lead, rows // tr)
+        jnp.asarray(inv_mc, jnp.float32),
+        jnp.asarray(lr, jnp.float32)]).reshape(1, 2)
+    grid = (lead, nrt, nsb)
 
-    upd3, nmq3, nms3 = pl.pallas_call(
-        functools.partial(_kernel, nsb=nsb, b1=float(b1), wd=float(wd),
+    data = lambda: pl.BlockSpec((1, tr, QBLOCK),
+                                lambda bi, ri, ki: (bi, ri, ki))
+    upd3, nmq3, nms5 = pl.pallas_call(
+        functools.partial(_kernel, b1=float(b1), wd=float(wd),
                           eps=float(eps)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2,), lambda bi, ri: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tr, cols), lambda bi, ri: (bi, ri, 0)),
-            pl.BlockSpec((1, tr, cols), lambda bi, ri: (bi, ri, 0)),
-            pl.BlockSpec((1, tr, nsb), lambda bi, ri: (bi, ri, 0)),
-            pl.BlockSpec((1, tr, cols), lambda bi, ri: (bi, ri, 0)),
-            pl.BlockSpec((1, 1, 1, tr), lambda bi, ri: (bi, ri, 0, 0)),
-            pl.BlockSpec((1, 1, cols), lambda bi, ri: (bi, 0, 0)),
+            pl.BlockSpec((1, 2), lambda bi, ri, ki: (0, 0)),
+            data(),
+            data(),
+            pl.BlockSpec((1, 1, 1, tr, 1),
+                         lambda bi, ri, ki: (bi, ki, ri, 0, 0)),
+            data(),
+            pl.BlockSpec((1, 1, 1, tr, 1),
+                         lambda bi, ri, ki: (bi, ri, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, QBLOCK),
+                         lambda bi, ri, ki: (bi, ki, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tr, cols), lambda bi, ri: (bi, ri, 0)),
-            pl.BlockSpec((1, tr, cols), lambda bi, ri: (bi, ri, 0)),
-            pl.BlockSpec((1, tr, nsb), lambda bi, ri: (bi, ri, 0)),
+            data(),
+            data(),
+            pl.BlockSpec((1, 1, 1, tr, 1),
+                         lambda bi, ri, ki: (bi, ki, ri, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((lead, rows, cols), p.dtype),
             jax.ShapeDtypeStruct((lead, rows, cols), jnp.int8),
-            jax.ShapeDtypeStruct((lead, rows, nsb), jnp.float32),
+            jax.ShapeDtypeStruct((lead, nsb, nrt, tr, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=12 * lead * rows * cols,
@@ -175,10 +177,8 @@ def fused_lean_update(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scalars, g3, mq3, ms3, p3, a4, b3)
+    )(scalars, g3, mq3, ms5, p3, a5, b4)
 
-    return (
-        upd3.reshape(shape),
-        nmq3.reshape(shape),
-        nms3.reshape(shape[:-1] + (nsb,)),
-    )
+    nms = (nms5[..., 0].transpose(0, 2, 3, 1)
+           .reshape(shape[:-1] + (nsb,)))
+    return upd3.reshape(shape), nmq3.reshape(shape), nms
