@@ -157,7 +157,7 @@ def _refill_one(params: Params, cfg: UnifiedModelConfig, s: SlotState,
 def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
                      temperature: float, topk: int,
                      use_cfg: bool = False, cfg_scale: float = 1.0,
-                     attn_block: int = 0):
+                     attn_block: int = 0, kv_write: str = "inline"):
     """One decode frame over the batch -> (state, per-row packed outputs
     (B, ncb+3) int32: [text, audio x ncb, phase, done]). With ``use_cfg``
     the rows are interleaved [cond, uncond] pairs (guidance mixing inside
@@ -175,6 +175,7 @@ def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
             forbid_prefix=s.forbid_prefix[:, None],
             use_cfg=use_cfg, cfg_scale=jnp.float32(cfg_scale),
             key_valid=key_valid, attn_block=attn_block,
+            kv_write=kv_write,
             sample_text=mode == "text", sample_audio=mode == "audio",
         )
         text_tok = frame[:, 0]
@@ -242,13 +243,14 @@ def _make_frame_body(cfg: UnifiedModelConfig, *, mode: str,
 def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
                    seg_frames: int, temperature: float, topk: int,
                    use_cfg: bool = False, cfg_scale: float = 1.0,
-                   attn_block: int = 0):
+                   attn_block: int = 0, kv_write: str = "inline"):
     """Fused refill prologue + K decode frames. ``r_rows[i] < 0`` marks an
     unused refill lane (the `lax.cond` skips its prefill entirely). A CFG
     request simply occupies two lanes (cond row 2p, uncond row 2p+1)."""
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
                                   topk=topk, use_cfg=use_cfg,
-                                  cfg_scale=cfg_scale, attn_block=attn_block)
+                                  cfg_scale=cfg_scale, attn_block=attn_block,
+                                  kv_write=kv_write)
 
     def segment(params: Params, s: SlotState, r_rows: jax.Array,
                 r_grids: jax.Array, r_masks: jax.Array, r_lens: jax.Array,
@@ -284,7 +286,7 @@ def _build_segment(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
 def _build_segment_reactive(cfg: UnifiedModelConfig, *, mode: str,
                             seg_frames: int, temperature: float, topk: int,
                             use_cfg: bool = False, cfg_scale: float = 1.0,
-                            attn_block: int = 0):
+                            attn_block: int = 0, kv_write: str = "inline"):
     """Row-free-reactive segment: decode up to ``seg_frames`` frames but
     RETURN EARLY the moment any row completes. Used when the queue holds a
     request waiting for a row — the host then admits at the exact frame the
@@ -295,7 +297,8 @@ def _build_segment_reactive(cfg: UnifiedModelConfig, *, mode: str,
     ncb = cfg.tokens.num_codebooks
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
                                   topk=topk, use_cfg=use_cfg,
-                                  cfg_scale=cfg_scale, attn_block=attn_block)
+                                  cfg_scale=cfg_scale, attn_block=attn_block,
+                                  kv_write=kv_write)
 
     def segment(params: Params, s: SlotState):
         cache_len = s.caches.backbone.max_seq
@@ -326,14 +329,15 @@ def _build_segment_reactive(cfg: UnifiedModelConfig, *, mode: str,
 def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
                  temperature: float, topk: int,
                  use_cfg: bool = False, cfg_scale: float = 1.0,
-                 attn_block: int = 0):
+                 attn_block: int = 0, kv_write: str = "inline"):
     """Decode until every row is inactive or the cache budget ends — the
     whole tail in one dispatch. Returns (state, slab (B, drain_cap, C),
     n_steps)."""
     ncb = cfg.tokens.num_codebooks
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
                                   topk=topk, use_cfg=use_cfg,
-                                  cfg_scale=cfg_scale, attn_block=attn_block)
+                                  cfg_scale=cfg_scale, attn_block=attn_block,
+                                  kv_write=kv_write)
 
     def drain(params: Params, s: SlotState):
         cache_len = s.caches.backbone.max_seq
@@ -364,7 +368,7 @@ def _build_drain(cfg: UnifiedModelConfig, *, mode: str, drain_cap: int,
 def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
                    out_cap: int, temperature: float, topk: int,
                    use_cfg: bool = False, cfg_scale: float = 1.0,
-                   attn_block: int = 0):
+                   attn_block: int = 0, kv_write: str = "inline"):
     """Fully in-graph continuous batching over a fixed request list: ONE
     dispatch decodes Q requests through B rows, admitting the next queued
     prompt into a row the frame after the row frees (refill-on-completion
@@ -379,7 +383,8 @@ def _build_offline(cfg: UnifiedModelConfig, *, mode: str, bucket: int,
     pair = 2 if use_cfg else 1
     frame_body = _make_frame_body(cfg, mode=mode, temperature=temperature,
                                   topk=topk, use_cfg=use_cfg,
-                                  cfg_scale=cfg_scale, attn_block=attn_block)
+                                  cfg_scale=cfg_scale, attn_block=attn_block,
+                                  kv_write=kv_write)
 
     def offline(params: Params, s: SlotState, q_grids: jax.Array,
                 q_masks: jax.Array, q_lens: jax.Array, q_caps: jax.Array):
@@ -520,7 +525,8 @@ class ContinuousEngine:
                  cache_dtype=jnp.bfloat16,
                  attn_block: "Optional[int]" = None,
                  seg_ladder: "Optional[str]" = None,
-                 kv_quant: "Optional[str]" = None):
+                 kv_quant: "Optional[str]" = None,
+                 kv_write: "Optional[str]" = None):
         assert mode in ("text", "audio")
         if use_cfg:
             assert mode == "audio", "CFG guides audio generation (TTS/TTA)"
@@ -528,8 +534,13 @@ class ContinuousEngine:
         self.params = params
         self.cfg = cfg
         self.mode = mode
+        from uniaudio2_tpu.engine.decode import resolve_kv_write
+        # deferred KV writes require the STACKED cache layout (the frame
+        # write is one coalesced dynamic_update_slice across all layers)
+        self.kv_write = resolve_kv_write(kv_write)
         self._cache_lists = isinstance(
-            params.get("backbone", {}).get("layers"), list)
+            params.get("backbone", {}).get("layers"), list
+        ) and self.kv_write != "deferred"
         self.rows = rows
         self.use_cfg = use_cfg
         self._pair = 2 if use_cfg else 1
@@ -578,7 +589,8 @@ class ContinuousEngine:
             self._segments[k] = jax.jit(_build_segment(
                 cfg, mode=mode, bucket=bucket, seg_frames=k,
                 temperature=temperature, topk=topk, use_cfg=use_cfg,
-                cfg_scale=cfg_scale, attn_block=self.attn_block),
+                cfg_scale=cfg_scale, attn_block=self.attn_block,
+                kv_write=self.kv_write),
                 donate_argnums=(1,))
         self._segment = self._segments[self.seg_ladder[-1]]
         self._reactive = None
@@ -586,12 +598,14 @@ class ContinuousEngine:
             self._reactive = jax.jit(_build_segment_reactive(
                 cfg, mode=mode, seg_frames=seg_frames,
                 temperature=temperature, topk=topk, use_cfg=use_cfg,
-                cfg_scale=cfg_scale, attn_block=self.attn_block),
+                cfg_scale=cfg_scale, attn_block=self.attn_block,
+                kv_write=self.kv_write),
                 donate_argnums=(1,))
         self._drain = jax.jit(_build_drain(
             cfg, mode=mode, drain_cap=cache_len - bucket,
             temperature=temperature, topk=topk, use_cfg=use_cfg,
-            cfg_scale=cfg_scale, attn_block=self.attn_block),
+            cfg_scale=cfg_scale, attn_block=self.attn_block,
+            kv_write=self.kv_write),
             donate_argnums=(1,))
         self._key = jax.random.PRNGKey(seed)
         self._state = self._fresh_state(cache_dtype)
@@ -716,7 +730,8 @@ class ContinuousEngine:
                 self.cfg, mode=self.mode, bucket=self.bucket,
                 out_cap=out_cap, temperature=self._temperature,
                 topk=self._topk, use_cfg=self.use_cfg,
-                cfg_scale=self._cfg_scale, attn_block=self.attn_block))
+                cfg_scale=self._cfg_scale, attn_block=self.attn_block,
+                kv_write=self.kv_write))
         pair = self._pair
         qshape = ((n_q, 2, self.bucket, 9) if self.use_cfg
                   else (n_q, self.bucket, 9))

@@ -130,6 +130,22 @@ def resolve_kv_quant(mode: Optional[str], cache_len: int, cache_dtype,
     return cache_dtype
 
 
+def resolve_kv_write(mode: Optional[str]) -> str:
+    """Resolve the cache-write discipline: "inline" (default — each layer
+    writes its K/V slot before attending) or "deferred" (attention reads
+    the cache prefix plus the fresh K/V as an extra softmax column, and
+    the whole frame's K/V land in ONE coalesced stacked write —
+    `gpt.decode_step(kv_write="deferred")`). None reads ``UA2_KV_WRITE``
+    (default inline). Unrecognized values raise."""
+    if mode is None:
+        mode = os.environ.get("UA2_KV_WRITE", "inline")
+    mode = str(mode).strip().lower()
+    if mode not in ("inline", "deferred"):
+        raise ValueError(
+            f"UA2_KV_WRITE={mode!r}: expected inline or deferred")
+    return mode
+
+
 def resolve_attn_block(attn_block: Optional[int], cache_len: int) -> int:
     """Resolve the prefix-bounded-attention block for one compiled program.
 
@@ -187,6 +203,7 @@ def _build_generate(
     cache_lists: bool = False,
     attn_block: int = 0,
     kv_quant: Optional[str] = None,
+    kv_write: str = "inline",
 ):
     """Construct the jittable full-generation function for one configuration."""
     ts = cfg.tokens
@@ -255,6 +272,7 @@ def _build_generate(
                 use_cfg=use_cfg, cfg_scale=cfg_scale,
                 sample_text=mode == "text", sample_audio=mode == "audio",
                 approx_topk=approx_topk, attn_block=attn_block,
+                kv_write=kv_write,
             )
             text_tok = frame[0, 0]          # row 0 = conditioned
             audio_toks = frame[0, 1:]       # (8,)
@@ -355,6 +373,7 @@ def _build_generate_batched(
     cache_lists: bool = False,
     attn_block: int = 0,
     kv_quant: Optional[str] = None,
+    kv_write: str = "inline",
 ):
     """Batched multi-utterance generation: B independent rows decode in one
     compiled loop with per-row EOS / two-phase state.
@@ -446,6 +465,7 @@ def _build_generate_batched(
                 key_valid=key_valid,
                 sample_text=mode == "text", sample_audio=mode == "audio",
                 approx_topk=approx_topk, attn_block=attn_block,
+                kv_write=kv_write,
             )
             text_tok = frame[:, 0]          # (B,)
             audio_toks = frame[:, 1:]       # (B, 8)
@@ -531,6 +551,7 @@ class DecodeEngine:
         approx_topk: bool = True,
         attn_block: Optional[int] = None,
         kv_quant: Optional[str] = None,
+        kv_write: Optional[str] = None,
     ):
         """``kv_quant`` ("auto"/"on"/"off", default env ``UA2_KV_QUANT`` or
         auto) selects the int8 KV cache per compiled program
@@ -572,6 +593,7 @@ class DecodeEngine:
             attn_block = -1 if env == "auto" else int(env)
         self.attn_block = int(attn_block)
         self.kv_quant = kv_quant
+        self.kv_write = resolve_kv_write(kv_write)
         self.buckets = tuple(b for b in buckets if b <= cfg.max_seq_len) or (
             cfg.max_seq_len,
         )
@@ -579,9 +601,13 @@ class DecodeEngine:
         self.approx_topk = approx_topk
         # unrolled per-layer weights pair with per-layer cache buffers
         # (`ops/kv_cache.py`): removes the stacked-slice cache copies that
-        # dominate batched decode glue (~1.7 ms/frame at batch 16)
+        # dominate batched decode glue (~1.7 ms/frame at batch 16).
+        # Deferred KV writes instead require the STACKED layout (the frame
+        # write is one dynamic_update_slice across all layers, and reads
+        # are free static slices — no per-layer `.at[i].set` ever happens).
         self._cache_lists = isinstance(
-            params.get("backbone", {}).get("layers"), list)
+            params.get("backbone", {}).get("layers"), list
+        ) and self.kv_write != "deferred"
         self._cache_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -611,6 +637,7 @@ class DecodeEngine:
                 cache_lists=self._cache_lists,
                 attn_block=self.attn_block,
                 kv_quant=self.kv_quant,
+                kv_write=self.kv_write,
             )
             self._compiled[key] = _serving_jit(fn)
         return self._compiled[key]
@@ -689,6 +716,7 @@ class DecodeEngine:
                 cache_lists=self._cache_lists,
                 attn_block=self.attn_block,
                 kv_quant=self.kv_quant,
+                kv_write=self.kv_write,
             )
             self._compiled[key] = _serving_jit(fn)
         return self._compiled[key]
@@ -841,7 +869,7 @@ class DecodeEngine:
             def step_fn(params, tokens, mask, caches, pos):
                 last_h, caches = unified.decode_hidden(
                     params, cfg, tokens, mask, caches, pos,
-                    attn_block=host_blk,
+                    attn_block=host_blk, kv_write=self.kv_write,
                 )
                 return gpt.lm_head(params["backbone"], last_h, cfg.backbone), caches
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from uniaudio2_tpu.config import GPTConfig
 from uniaudio2_tpu.ops.attention import causal_attention, decode_attention
 from uniaudio2_tpu.ops.kv_cache import (
-    KVCache, layer_entry, set_layer_entry, update_layer,
+    KVCache, layer_entry, set_layer_entry, update_layer, update_stacked,
 )
 from uniaudio2_tpu.ops.norms import rms_norm
 from uniaudio2_tpu.ops.quant import matmul
@@ -426,6 +426,7 @@ def decode_step(
     *,
     key_valid: Optional[jax.Array] = None,
     attn_block: Optional[int] = None,
+    kv_write: str = "inline",
 ) -> Tuple[jax.Array, KVCache]:
     """One incremental step: ``x`` (B, T, D) at absolute positions
     [pos, pos+T). Writes K/V then attends over the full static cache with a
@@ -435,8 +436,23 @@ def decode_step(
     ``attn_block`` bounds attention READS to the smallest multiple of the
     block covering ``pos`` (`decode_attention(prefix_levels=...)`): early
     decode steps then stream only the filled cache prefix instead of the
-    whole budget — the paged-KV equivalent for static TPU shapes."""
+    whole budget — the paged-KV equivalent for static TPU shapes.
+
+    ``kv_write="deferred"`` (unrolled serving form, STACKED cache, T == 1
+    only) skips every per-layer cache write: attention reads the cache
+    prefix [0, pos) plus the current token's fresh K/V as one extra
+    softmax column (`decode_attention(fresh_kv=...)`), and the frame's
+    K/V for ALL layers land in ONE coalesced `kv_cache.update_stacked`
+    write at the end — 2 (bf16) or 4 (int8) dynamic_update_slices per
+    step instead of 2/4 per LAYER. Built for the batch-16 glue line items
+    of docs/profile_decode_r3.md:151-154."""
     b, t, d = x.shape
+    deferred = kv_write == "deferred"
+    if deferred:
+        assert t == 1, "deferred KV writes require T == 1 decode steps"
+        assert not isinstance(cache.k, list), (
+            "deferred KV writes need the STACKED cache layout "
+            "(init_caches(as_lists=False))")
     cos_t, sin_t = _rope_tables(cfg, cache.max_seq)
     positions = pos + jnp.arange(t, dtype=jnp.int32)
     cos = jnp.take(cos_t, positions, axis=0)
@@ -456,10 +472,19 @@ def decode_step(
         # the fused MLP kernel (quantized decode; identical math elsewhere)
         q, k, v = _qkv(layer, cfg, xc, cos, sin,
                        pre_norm=(layer["norm1_w"], cfg.norm_eps))
-        k_l, v_l = update_layer(k_l, v_l, k, v, pos)
-        attn = decode_attention(q, k_l, v_l, positions, scale=scale,
-                                key_valid=key_valid, logit_softcap=softcap,
-                                window=win, prefix_levels=levels)
+        if deferred:
+            attn = decode_attention(q, k_l, v_l, positions, scale=scale,
+                                    key_valid=key_valid,
+                                    logit_softcap=softcap,
+                                    window=win, prefix_levels=levels,
+                                    fresh_kv=(k, v))
+            k_l, v_l = k, v     # collected for the coalesced frame write
+        else:
+            k_l, v_l = update_layer(k_l, v_l, k, v, pos)
+            attn = decode_attention(q, k_l, v_l, positions, scale=scale,
+                                    key_valid=key_valid,
+                                    logit_softcap=softcap,
+                                    window=win, prefix_levels=levels)
         # residual add folded into the attn-proj kernel (XLA add elsewhere).
         # (A further fusion of this whole tail — proj + residual + norm2 +
         # SwiGLU + residual as ONE two-phase grid kernel — was built,
@@ -481,6 +506,7 @@ def decode_step(
         lists = isinstance(k_all, list)
         if lists:
             k_all, v_all = list(k_all), list(v_all)
+        fresh_k, fresh_v = [], []
         for i, layer in enumerate(params["layers"]):
             k_i = k_all[i] if lists else layer_entry(k_all, i)
             v_i = v_all[i] if lists else layer_entry(v_all, i)
@@ -488,15 +514,23 @@ def decode_step(
             if wins is not None:
                 inputs = inputs + (wins[i],)
             x, (k_l, v_l) = layer_fn(x, inputs)
-            if lists:
+            if deferred:
+                fresh_k.append(k_l)
+                fresh_v.append(v_l)
+            elif lists:
                 k_all[i] = k_l
                 v_all[i] = v_l
             else:
                 k_all = set_layer_entry(k_all, i, k_l)
                 v_all = set_layer_entry(v_all, i, v_l)
+        if deferred:
+            k_all, v_all = update_stacked(
+                k_all, v_all, jnp.stack(fresh_k), jnp.stack(fresh_v), pos)
         return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_all, v_all)
     xs = (params["layers"], cache.k, cache.v)
     if wins is not None:
         xs = xs + (wins,)
     x, (k_new, v_new) = jax.lax.scan(layer_fn, x, xs)
+    if deferred:    # scan ys are the per-layer fresh K/V, already stacked
+        k_new, v_new = update_stacked(cache.k, cache.v, k_new, v_new, pos)
     return rms_norm(x, params["ln_f_w"], cfg.norm_eps), KVCache(k_new, v_new)

@@ -497,28 +497,31 @@ def decode_hidden(
     pos: jax.Array,
     key_valid: Optional[jax.Array] = None,
     attn_block: Optional[int] = None,
+    kv_write: str = "inline",
 ) -> Tuple[jax.Array, UnifiedCaches]:
     """Shared expert/backbone half of one AR step: (B, 1, 9) tokens at
     ``pos`` -> (last hidden state (B, D), updated caches). Used by both the
     fully-compiled frame loop and the host-driven beam/ngram decoders (which
     need raw logits between steps). ``attn_block`` bounds attention reads
-    to the filled cache prefix (see `gpt.decode_step`)."""
+    to the filled cache prefix; ``kv_write`` selects per-layer inline cache
+    writes or the coalesced deferred frame write (see `gpt.decode_step`)."""
     audio_input, text_embeds, a_mask, t_mask = _fuse_input(
         params, cfg, tokens, tokens_mask
     )
     h_audio, und_cache = gpt.decode_step(
         params["understanding_expert"], cfg.understanding_expert,
         audio_input, caches.understanding, pos, key_valid=key_valid,
-        attn_block=attn_block,
+        attn_block=attn_block, kv_write=kv_write,
     )
     backbone_input = h_audio * a_mask + text_embeds * t_mask
     h, bb_cache = gpt.decode_step(
         params["backbone"], cfg.backbone, backbone_input, caches.backbone, pos,
-        key_valid=key_valid, attn_block=attn_block,
+        key_valid=key_valid, attn_block=attn_block, kv_write=kv_write,
     )
     h_gen, gen_cache = gpt.decode_step(
         params["generation_expert"], cfg.generation_expert, h * a_mask,
         caches.generation, pos, key_valid=key_valid, attn_block=attn_block,
+        kv_write=kv_write,
     )
     h_final = h_gen * a_mask + h * t_mask
     return h_final[:, -1, :], UnifiedCaches(bb_cache, und_cache, gen_cache)
@@ -543,6 +546,7 @@ def decode_frame(
     sample_audio: bool = True,
     approx_topk: bool = False,
     attn_block: Optional[int] = None,
+    kv_write: str = "inline",
 ) -> Tuple[jax.Array, UnifiedCaches]:
     """One AR step: consume the previous frame's (B, 1, 9) tokens at position
     ``pos``, return the next frame's (B, 9) tokens [text, cb0..cb7] — note the
@@ -569,7 +573,8 @@ def decode_frame(
     b = tokens.shape[0]
     last_h, new_caches = decode_hidden(params, cfg, tokens, tokens_mask, caches, pos,
                                        key_valid=key_valid,
-                                       attn_block=attn_block)
+                                       attn_block=attn_block,
+                                       kv_write=kv_write)
     bb_cache, und_cache, gen_cache = (
         new_caches.backbone, new_caches.understanding, new_caches.generation
     )

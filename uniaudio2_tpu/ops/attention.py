@@ -98,11 +98,17 @@ def _decode_mask(
     q_positions: jax.Array,
     key_valid: Optional[jax.Array],
     window: Optional[jax.Array],
+    exclusive: bool = False,
 ) -> jax.Array:
     """Position mask for cache attention: (T, S) — or (B, 1, 1, T, S) when a
-    per-row ``key_valid`` is given."""
+    per-row ``key_valid`` is given. ``exclusive`` masks the query's own
+    slot too (deferred-KV decode: the current token is not in the cache
+    yet, its score comes from the fresh K/V instead)."""
     key_idx = jnp.arange(s_max, dtype=jnp.int32)
-    mask = key_idx[None, :] <= q_positions[:, None]  # (T, S)
+    if exclusive:
+        mask = key_idx[None, :] < q_positions[:, None]   # (T, S)
+    else:
+        mask = key_idx[None, :] <= q_positions[:, None]  # (T, S)
     if window is not None:
         mask = jnp.logical_and(
             mask, q_positions[:, None] - key_idx[None, :] < window
@@ -114,6 +120,19 @@ def _decode_mask(
     return mask
 
 
+def _self_scores(
+    qg: jax.Array, k_fresh: jax.Array, scale: float
+) -> jax.Array:
+    """(B, G, P, T, 1) scores of each query step against ITS OWN fresh key
+    (deferred-KV decode, T == 1: the current token attends itself through
+    the un-written bf16 K rather than the cache slot)."""
+    sc = jnp.einsum(
+        "bgpth,bgth->bgpt", qg, k_fresh,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    return sc[..., None]
+
+
 def _attend_prefix(
     qg: jax.Array,
     k_cache,
@@ -123,25 +142,44 @@ def _attend_prefix(
     key_valid: Optional[jax.Array],
     logit_softcap: Optional[float],
     window: Optional[jax.Array],
+    fresh_kv=None,
 ) -> jax.Array:
     """Dense masked attention of grouped queries against the (possibly
     prefix-sliced) cache. Shared by the full-cache and level-switched
     paths of `decode_attention`. ``k_cache``/``v_cache`` may be `QuantKV`
-    (int8 cache) — see `_attend_prefix_quant`."""
+    (int8 cache) — see `_attend_prefix_quant`. With ``fresh_kv`` (deferred
+    cache writes) the cache holds only positions < pos; the current
+    token's (B, G, T, hd) K/V arrive fresh and contribute one extra
+    softmax column."""
     if isinstance(k_cache, QuantKV):
         return _attend_prefix_quant(
             qg, k_cache, v_cache, q_positions, scale, key_valid,
-            logit_softcap, window,
+            logit_softcap, window, fresh_kv,
         )
     s_max = k_cache.shape[2]
     scores = jnp.einsum(
         "bgpth,bgsh->bgpts", qg, k_cache, preferred_element_type=jnp.float32
     ) * scale
+    mask = _decode_mask(s_max, q_positions, key_valid, window,
+                        exclusive=fresh_kv is not None)
+    if fresh_kv is None:
+        scores = _softcap(scores, logit_softcap)
+        scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+        return jnp.einsum("bgpts,bgsh->bgpth", probs, v_cache)
+    k_f, v_f = fresh_kv
+    self_sc = _self_scores(qg, k_f.astype(qg.dtype), scale)
+    scores = jnp.concatenate([scores, self_sc], axis=-1)
     scores = _softcap(scores, logit_softcap)
-    mask = _decode_mask(s_max, q_positions, key_valid, window)
-    scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    return jnp.einsum("bgpts,bgsh->bgpth", probs, v_cache)
+    ones = jnp.ones(mask.shape[:-1] + (1,), bool)
+    scores = jnp.where(jnp.concatenate([mask, ones], axis=-1),
+                       scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bgpts,bgsh->bgpth",
+                     probs[..., :s_max].astype(v_cache.dtype), v_cache)
+    # each query step attends only its OWN fresh value (T == 1 upstream)
+    return out + (probs[..., s_max:] * v_f[:, :, None].astype(probs.dtype)
+                  ).astype(out.dtype)
 
 
 def _attend_prefix_quant(
@@ -153,6 +191,7 @@ def _attend_prefix_quant(
     key_valid: Optional[jax.Array],
     logit_softcap: Optional[float],
     window: Optional[jax.Array],
+    fresh_kv=None,
 ) -> jax.Array:
     """int8-cache decode attention with NO dequantized materialisation.
 
@@ -188,17 +227,32 @@ def _attend_prefix_quant(
     scores = (acc.astype(jnp.float32)
               * (q_s[..., None] * scale)
               * k_s[:, :, None, None, :])
+    mask = _decode_mask(s_max, q_positions, key_valid, window,
+                        exclusive=fresh_kv is not None)
+    if fresh_kv is not None:
+        # deferred write: the current token's score/value use the EXACT
+        # fresh bf16 K/V (better than the inline path, which reads its own
+        # slot back through the int8 rounding)
+        k_f, v_f = fresh_kv
+        self_sc = _self_scores(qg, k_f.astype(qg.dtype), scale)
+        scores = jnp.concatenate([scores, self_sc], axis=-1)
+        ones = jnp.ones(mask.shape[:-1] + (1,), bool)
+        mask = jnp.concatenate([mask, ones], axis=-1)
     scores = _softcap(scores, logit_softcap)
-    mask = _decode_mask(s_max, q_positions, key_valid, window)
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)  # f32
+    self_out = 0
+    if fresh_kv is not None:
+        self_out = probs[..., s_max:] * v_f[:, :, None].astype(jnp.float32)
+        probs = probs[..., :s_max]
     p = probs * v_s[:, :, None, None, :]
     p_s = jnp.max(p, axis=-1) / 127.0        # p >= 0
     p_i8 = jnp.round(p / jnp.maximum(p_s, 1e-30)[..., None]).astype(jnp.int8)
     out = jnp.einsum(
         "bgpts,bgsh->bgpth", p_i8, v_q, preferred_element_type=jnp.int32
     )
-    return (out.astype(jnp.float32) * p_s[..., None]).astype(qg.dtype)
+    return (out.astype(jnp.float32) * p_s[..., None]
+            + self_out).astype(qg.dtype)
 
 
 def _slice_prefix(cache, lvl: int):
@@ -219,6 +273,7 @@ def decode_attention(
     logit_softcap: Optional[float] = None,
     window: Optional[jax.Array] = None,
     prefix_levels: Optional[Tuple[int, ...]] = None,
+    fresh_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Incremental GQA against a static-length cache.
 
@@ -256,26 +311,29 @@ def decode_attention(
         assert prefix_levels[-1] == s_max and list(prefix_levels) == sorted(
             set(prefix_levels)
         ), f"bad prefix levels {prefix_levels} for cache length {s_max}"
-        need = q_positions[-1] + 1  # cache slots [0, need) may be attended
+        # cache slots [0, need) may be attended; deferred writes keep the
+        # current token OUT of the cache, so one fewer slot is needed
+        need = q_positions[-1] + (1 if fresh_kv is None else 0)
         sel = jnp.searchsorted(
             jnp.asarray(prefix_levels, jnp.int32), need, side="left"
         )
 
         def make_branch(lvl: int):
-            def branch(qg, k_cache, v_cache, q_positions, key_valid):
+            def branch(qg, k_cache, v_cache, q_positions, key_valid,
+                       fresh_kv):
                 return _attend_prefix(
                     qg, _slice_prefix(k_cache, lvl), _slice_prefix(v_cache, lvl),
                     q_positions, scale,
                     None if key_valid is None else key_valid[:, :lvl],
-                    logit_softcap, window,
+                    logit_softcap, window, fresh_kv,
                 )
             return branch
 
         out = jax.lax.switch(
             sel, [make_branch(l) for l in prefix_levels],
-            qg, k_cache, v_cache, q_positions, key_valid,
+            qg, k_cache, v_cache, q_positions, key_valid, fresh_kv,
         )
     else:
         out = _attend_prefix(qg, k_cache, v_cache, q_positions, scale,
-                             key_valid, logit_softcap, window)
+                             key_valid, logit_softcap, window, fresh_kv)
     return out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, h * hd)

@@ -156,3 +156,42 @@ def update_layer(
     write when the layer is a `QuantKV`)."""
     return (_update_entry(k_layer, k_new, pos),
             _update_entry(v_layer, v_new, pos))
+
+
+def _update_stacked_entry(
+    stacked: CacheEntry, new: jax.Array, pos: jax.Array
+) -> CacheEntry:
+    zero = jnp.int32(0)
+    p = jnp.asarray(pos, jnp.int32)
+    if isinstance(stacked, QuantKV):
+        qn = quantize_slots(new)     # all layers quantized in ONE op
+        return QuantKV(
+            q=jax.lax.dynamic_update_slice(
+                stacked.q, qn.q, (zero, zero, zero, p, zero)),
+            s=jax.lax.dynamic_update_slice(
+                stacked.s, qn.s, (zero, zero, zero, p)),
+        )
+    return jax.lax.dynamic_update_slice(
+        stacked, new.astype(stacked.dtype), (zero, zero, zero, p, zero)
+    )
+
+
+def update_stacked(
+    k_all: CacheEntry,
+    v_all: CacheEntry,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    pos: jax.Array,
+) -> Tuple[CacheEntry, CacheEntry]:
+    """Coalesced deferred write: ``k_new``/``v_new`` of shape
+    (L, B, G, T, hd) — one frame's fresh K/V for EVERY layer — written at
+    slots [pos, pos+T) of the stacked (L, B, G, S_max, hd) cache in ONE
+    `dynamic_update_slice` per field (2 writes for a bf16 cache, 4 for a
+    QuantKV, instead of 2/4 PER LAYER). This is the write half of the
+    deferred-KV decode path (`gpt.decode_step(kv_write="deferred")`): the
+    r3 batch-16 anatomy charged ~0.3 ms/frame of (B, G, pos) scatter
+    writes plus small-async-slice glue to the per-layer writes
+    (docs/profile_decode_r3.md:151-154), and the int8 cache doubled the
+    per-layer write count (values + scales)."""
+    return (_update_stacked_entry(k_all, k_new, pos),
+            _update_stacked_entry(v_all, v_new, pos))
