@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--ladder", default="auto",
                    help="segment ladder: auto | off | '2,4,8' "
                         "(r5 TTFT-tail lever; 'off' = fixed r4 behavior)")
+    p.add_argument("--reactive", default=None,
+                   help="row-free-reactive program: on | off | auto "
+                        "(default env UA2_SEG_REACTIVE; measured off)")
+    p.add_argument("--windows", type=int, default=None,
+                   help="cache windows: 1 = r4 drain-then-reset, 2 = "
+                        "overlapped drain (default env UA2_WINDOWS)")
     p.add_argument("--diag", action="store_true",
                    help="per-step timing classified by scheduler program + "
                         "worst-request TTFT decomposition (straggler hunt)")
@@ -122,7 +128,8 @@ def main(argv=None):
             params, cfg, mode="audio", rows=rows, bucket=64,
             seg_frames=args.seg_frames, cache_len=args.cache_len,
             max_frames=args.max_frames, temperature=0.9, topk=args.topk,
-            cache_dtype=cache_dtype, seg_ladder=args.ladder)
+            cache_dtype=cache_dtype, seg_ladder=args.ladder,
+            seg_reactive=args.reactive, windows=args.windows)
         eng.warmup()   # AOT-compile all scheduler programs off the clock
         return eng
 
@@ -159,6 +166,8 @@ def main(argv=None):
     for load in args.loads:
         eng.timings.clear()
         eng.stats = {k: 0 for k in eng.stats}
+        eng._overlap = None
+        eng._flip = False
         eng._state = eng._fresh_state(eng._cache_dtype)
         eng._pos_host = eng.bucket
         arr_rng = np.random.default_rng(1234)
@@ -192,7 +201,7 @@ def main(argv=None):
             done += len(out)
             if not out and submitted < args.requests and not any(
                     s.request_id >= 0 for s in eng._slots) \
-                    and eng._queue.empty():
+                    and eng._overlap is None and eng._queue.empty():
                 time.sleep(max(arrivals[submitted] - (
                     time.monotonic() - t0), 0.0))
         makespan = time.monotonic() - t0
@@ -217,7 +226,9 @@ def main(argv=None):
             "reactive": eng.stats["reactive"],
             "resets": eng.stats["resets"],
             "drains": eng.stats["drains"],
+            "overlaps": eng.stats["overlaps"],
             "ladder": list(eng.seg_ladder),
+            "windows": eng.max_windows,
         }), flush=True)
         if args.diag:
             worst = sorted(steps, key=lambda s: -s[1])[:12]

@@ -265,7 +265,7 @@ def test_resolve_seg_ladder():
     """Ladder parsing: auto scales with seg_frames, off pins fixed
     segments, explicit lists are deduped/capped/sorted, junk raises."""
     resolve = ContinuousEngine._resolve_ladder
-    assert resolve("auto", 8) == (2, 4, 8)
+    assert resolve("auto", 8) == (2, 8)      # admission-only short rung
     assert resolve("auto", 4) == (2, 4)
     assert resolve("off", 8) == (8,)
     assert resolve("0", 8) == (8,)
@@ -273,6 +273,11 @@ def test_resolve_seg_ladder():
     assert resolve("16", 8) == (8,)      # capped at seg_frames
     with pytest.raises(ValueError):
         resolve("fast,slow", 8)
+    reactive = ContinuousEngine._resolve_reactive
+    assert reactive("on") and reactive("1")
+    assert not reactive("off") and not reactive("auto") and not reactive(None)
+    with pytest.raises(ValueError):
+        reactive("maybe")
 
 
 def test_online_ladder_token_identity(setup):
@@ -283,11 +288,11 @@ def test_online_ladder_token_identity(setup):
     cfg, params, ref = setup
     reqs = _requests(cfg.tokens, 3)
 
-    def run(ladder):
+    def run(ladder, reactive=None):
         ce = ContinuousEngine(
             params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
             cache_len=256, max_frames=8, topk=1, cache_dtype=jnp.float32,
-            seg_ladder=ladder,
+            seg_ladder=ladder, seg_reactive=reactive,
         )
         rids = [ce.submit(g, m) for g, m in reqs]
         results = {}
@@ -299,12 +304,74 @@ def test_online_ladder_token_identity(setup):
 
     fixed, stats_fixed = run("off")
     auto, stats_auto = run("auto")
+    mid, stats_mid = run("2,4,8", reactive="on")
     short, _ = run("1,2")
     assert stats_fixed["reactive"] == 0
-    assert stats_auto["reactive"] >= 1   # request queued behind full rows
-    for a, b, c in zip(fixed, auto, short):
+    assert stats_auto["reactive"] == 0   # reactive defaults off (measured)
+    assert stats_mid["reactive"] >= 1    # request queued behind full rows
+    for a, b, c, d in zip(fixed, auto, mid, short):
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a, c)
+        np.testing.assert_array_equal(a, d)
+
+
+def test_online_overlap_windows_token_identity(setup):
+    """windows=2 (overlapped drain): a budget-blocked arrival admits into
+    a FRESH second cache window while the old window's rows finish,
+    instead of waiting out a full drain. Token streams must be identical
+    to the windows=1 drain-then-reset schedule (same PRNG split order:
+    the overlap's fresh state is the same split the reset would take)."""
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 3)
+    # cache 64, bucket 32 -> 31-frame budget. r1 (cap 8) frees its row at
+    # pos 40; r3 (cap 24) then needs 24 > 23 remaining while r2 (cap 24)
+    # is still decoding -> budget-blocked with busy rows = overlap trigger
+    caps = [8, 24, 24]
+
+    def run(windows):
+        ce = ContinuousEngine(
+            params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+            cache_len=64, max_frames=24, topk=1, cache_dtype=jnp.float32,
+            windows=windows,
+        )
+        rids = [ce.submit(g, m, max_frames=c)
+                for (g, m), c in zip(reqs, caps)]
+        results = {}
+        for _ in range(200):
+            results.update(ce.step_online())
+            if len(results) == len(rids):
+                break
+        assert len(results) == len(rids)
+        return [results[r] for r in rids], ce.stats
+
+    one, stats_one = run(1)
+    two, stats_two = run(2)
+    assert stats_one["overlaps"] == 0
+    assert stats_one["drains"] >= 1      # r4 behavior: drain then reset
+    assert stats_two["overlaps"] >= 1    # arrival rode the fresh window
+    assert stats_two["drains"] == 0
+    for a, b in zip(one, two):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_overlap_then_run_until_drained(setup):
+    """run_until_drained retires a live overlap window first (mixed
+    step_online / run_until_drained use) and completes everything."""
+    cfg, params, ref = setup
+    reqs = _requests(cfg.tokens, 3)
+    ce = ContinuousEngine(
+        params, cfg, mode="text", rows=2, bucket=32, seg_frames=4,
+        cache_len=64, max_frames=24, topk=1, cache_dtype=jnp.float32,
+        windows=2,
+    )
+    rids = [ce.submit(g, m, max_frames=c)
+            for (g, m), c in zip(reqs, [8, 24, 24])]
+    results = {}
+    while ce._overlap is None:
+        results.update(ce.step_online())
+    results.update(ce.run_until_drained())
+    assert set(results) == set(rids)
+    assert ce._overlap is None
 
 
 def test_warmup_precompiles(setup):

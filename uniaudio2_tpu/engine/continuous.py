@@ -497,6 +497,20 @@ class _Slot:
 
 
 @dataclass
+class _Window:
+    """One shared-position cache window: device state + host mirrors.
+
+    The engine normally runs ONE window; under ``windows=2`` a second
+    (overlap) window exists transiently while the first drains — new
+    arrivals admit into the fresh window instead of waiting out the old
+    one's tail (docs/serving_latency_r5.md)."""
+
+    state: SlotState
+    pos: int                    # host mirror of state.pos (no device reads)
+    slots: List[_Slot]
+
+
+@dataclass
 class _Request:
     rid: int
     grid: np.ndarray
@@ -525,6 +539,8 @@ class ContinuousEngine:
                  cache_dtype=jnp.bfloat16,
                  attn_block: "Optional[int]" = None,
                  seg_ladder: "Optional[str]" = None,
+                 seg_reactive: "Optional[str]" = None,
+                 windows: "Optional[int]" = None,
                  kv_quant: "Optional[str]" = None,
                  kv_write: "Optional[str]" = None):
         assert mode in ("text", "audio")
@@ -549,7 +565,6 @@ class ContinuousEngine:
         self.cache_len = cache_len
         self.max_frames = max_frames
         self._queue: "queue.Queue[_Request]" = queue.Queue()
-        self._slots = [_Slot() for _ in range(rows // self._pair)]
         self._results: Dict[int, Any] = {}
         # wall-clock request lifecycle (online-serving latency accounting):
         # rid -> {submitted, first, done, frames}; "first" is stamped when
@@ -575,14 +590,16 @@ class ContinuousEngine:
         # and halves the cache footprint per row
         cache_dtype = resolve_kv_quant(kv_quant, cache_len, cache_dtype,
                                        batch=rows)
-        # Adaptive segment ladder (round-5 TTFT-tail lever,
+        # Adaptive segment ladder (round-5 TTFT lever, measured in
         # docs/serving_latency_r5.md): the scheduler picks a segment length
-        # per boundary — SHORT right after an admission (the new request's
-        # first frames surface in ~2 frames instead of a full segment),
-        # MEDIUM while free rows await possible arrivals (bounds the
-        # boundary-wait component of TTFT), FULL when saturated (dispatch
-        # overhead amortized where only throughput matters). "off"/a single
-        # length reproduces the fixed-segment r4 behavior.
+        # per boundary — SHORT on a segment that carries an admission (the
+        # new request's first frames surface in ~2 frames instead of a
+        # full segment), FULL otherwise (steady-state TPOT stays at the
+        # fixed-segment cost). The measured r5 A/B rejected a MEDIUM rung
+        # while free rows await arrivals: it put every steady-state token
+        # on half-length segments (+40 % TPOT) for ~20 ms of boundary
+        # wait — explicit ladders like "2,4,8" still express it. "off"/a
+        # single length reproduces the fixed-segment r4 behavior.
         self.seg_ladder = self._resolve_ladder(seg_ladder, seg_frames)
         self._segments: Dict[int, Any] = {}
         for k in self.seg_ladder:
@@ -593,8 +610,14 @@ class ContinuousEngine:
                 kv_write=self.kv_write),
                 donate_argnums=(1,))
         self._segment = self._segments[self.seg_ladder[-1]]
+        # Row-free-reactive program: early-exit decode while a request
+        # queues behind a full batch. Measured OFF by default: at 8 req/s
+        # the scheduler re-enters it every boundary (49 bursts/91 segments)
+        # and the short effective segments cost more dispatch than the
+        # row-free event saves — TTFT p50 407 ms vs 142 ms with plain full
+        # segments (docs/serving_latency_r5.md).
         self._reactive = None
-        if len(self.seg_ladder) > 1:
+        if self._resolve_reactive(seg_reactive):
             self._reactive = jax.jit(_build_segment_reactive(
                 cfg, mode=mode, seg_frames=seg_frames,
                 temperature=temperature, topk=topk, use_cfg=use_cfg,
@@ -608,21 +631,60 @@ class ContinuousEngine:
             kv_write=self.kv_write),
             donate_argnums=(1,))
         self._key = jax.random.PRNGKey(seed)
-        self._state = self._fresh_state(cache_dtype)
-        self._pos_host = self.bucket   # mirrors state.pos (no device reads)
-        self.stats = {"segments": 0, "drains": 0, "refills": 0, "resets": 0,
-                      "reactive": 0}
         self._cache_dtype = cache_dtype
+        # Overlapped drain windows (round-5 TTFT-p99 lever,
+        # docs/serving_latency_r5.md): with windows=2, a budget-blocked
+        # arrival admits into a FRESH second cache window immediately and
+        # its segments interleave with the old window's remaining rows,
+        # instead of waiting out a full drain (up to max_frames ≈ 1 s of
+        # TTFT — the measured p99 tail). The int8 KV cache's 1.94×
+        # compression funds the transient second cache set.
+        if windows is None:
+            import os as _os
+            windows = int(_os.environ.get("UA2_WINDOWS", "2"))
+        assert windows in (1, 2), f"windows={windows}: only 1 or 2"
+        self.max_windows = windows
+        self._win = _Window(self._fresh_state(cache_dtype), self.bucket,
+                            [_Slot() for _ in range(rows // self._pair)])
+        self._overlap: "Optional[_Window]" = None
+        self._flip = False
+        self.stats = {"segments": 0, "drains": 0, "refills": 0, "resets": 0,
+                      "reactive": 0, "overlaps": 0}
         self._temperature = temperature
         self._topk = topk
         self._cfg_scale = cfg_scale
 
+    # -- per-window host-state proxies (primary window). Benchmarks and
+    # tests address the engine's single-window fields directly; under
+    # overlap these always mean the PRIMARY (draining) window.
+    @property
+    def _state(self) -> SlotState:
+        return self._win.state
+
+    @_state.setter
+    def _state(self, v: SlotState) -> None:
+        self._win.state = v
+
+    @property
+    def _pos_host(self) -> int:
+        return self._win.pos
+
+    @_pos_host.setter
+    def _pos_host(self, v: int) -> None:
+        self._win.pos = v
+
+    @property
+    def _slots(self) -> List[_Slot]:
+        return self._win.slots
+
     @staticmethod
     def _resolve_ladder(spec: Optional[str], seg_frames: int) -> tuple:
         """Parse the segment-length ladder: "off"/"0" -> fixed segments,
-        "auto"/None -> (2, seg_frames//2, seg_frames), or explicit
-        "2,4,8". Entries are deduped, capped at ``seg_frames``, sorted.
-        Env default: ``UA2_SEG_LADDER``."""
+        "auto"/None -> (2, seg_frames) (short rung used ONLY on segments
+        that carry an admission — the measured r5 policy), or explicit
+        "2,4,8" (3+ rungs restore the mid-rung-while-rows-free behavior).
+        Entries are deduped, capped at ``seg_frames``, sorted. Env
+        default: ``UA2_SEG_LADDER``."""
         import os as _os
         if spec is None:
             spec = _os.environ.get("UA2_SEG_LADDER", "auto")
@@ -630,7 +692,7 @@ class ContinuousEngine:
         if spec in ("off", "0", ""):
             return (seg_frames,)
         if spec == "auto":
-            ks = (2, seg_frames // 2, seg_frames)
+            ks = (2, seg_frames)
         else:
             try:
                 ks = tuple(int(x) for x in spec.split(","))
@@ -640,6 +702,23 @@ class ContinuousEngine:
                     "a comma-separated length list like '2,4,8'")
         ks = sorted({max(1, min(int(k), seg_frames)) for k in ks})
         return tuple(ks) or (seg_frames,)
+
+    @staticmethod
+    def _resolve_reactive(spec: Optional[str]) -> bool:
+        """Row-free-reactive gate: "on"/"1" builds the early-exit program,
+        "off"/"0"/"auto"/None leaves it out (measured default — the r5
+        A/B showed reactive thrash at saturation, docs/serving_latency_r5
+        .md). Env default: ``UA2_SEG_REACTIVE``."""
+        import os as _os
+        if spec is None:
+            spec = _os.environ.get("UA2_SEG_REACTIVE", "auto")
+        spec = str(spec).strip().lower()
+        if spec in ("on", "1"):
+            return True
+        if spec in ("off", "0", "auto", ""):
+            return False
+        raise ValueError(
+            f"UA2_SEG_REACTIVE={spec!r}: expected on/off/auto")
 
     def _fresh_state(self, cache_dtype=jnp.bfloat16) -> SlotState:
         b = self.rows
@@ -829,86 +908,135 @@ class ContinuousEngine:
         `self.timings` (submitted/first/done/frames) — the data source for
         TTFT/TPOT serving benchmarks (`scripts/bench_serving_latency.py`).
         """
-        refills = self._gather_refills()
-        busy = any(s.request_id >= 0 for s in self._slots)
+        if self._overlap is not None:
+            self._step_overlap()
+            done, self._results = self._results, {}
+            return done
+        win = self._win
+        refills = self._gather_refills(win)
+        busy = any(s.request_id >= 0 for s in win.slots)
         if not refills and not busy:
             if self._queue.empty():
-                if self._remaining() < self.max_frames:
+                if self._remaining(win) < self.max_frames:
                     # proactive: refresh a nearly-spent window while idle
                     # (the caller sleeps anyway) so the next arrival admits
                     # instantly instead of paying the reset on its TTFT
-                    self._state = self._fresh_state(self._cache_dtype)
-                    self._pos_host = self.bucket
-                    self.stats["resets"] += 1
+                    self._reset(win)
                 return {}
             # queued work exists but is not admissible at this position
             # (cache budget spent): reset the window and retry next call
-            self._state = self._fresh_state(self._cache_dtype)
-            self._pos_host = self.bucket
-            self.stats["resets"] += 1
+            self._reset(win)
             return {}
         if not refills and not self._queue.empty():
             head: _Request = self._queue.queue[0]
-            if self._remaining() < head.max_frames:
-                # budget-blocked: nothing admits until the window resets.
-                # Fast-forward the in-flight rows in ONE compiled drain
-                # (no per-segment host round trips), then the next call
-                # resets and admits — the r4 TTFT-p99 drain-wait straggler
-                # (docs/serving_latency_r5.md)
-                self._run_drain()
+            if self._remaining(win) < head.max_frames:
+                if self.max_windows > 1:
+                    # budget-blocked with rows still running: open a FRESH
+                    # overlap window and admit the arrival there NOW; the
+                    # old window's tail interleaves segment-for-segment
+                    # instead of holding the arrival's TTFT for a full
+                    # drain (the measured p99 tail,
+                    # docs/serving_latency_r5.md)
+                    self._overlap = _Window(
+                        self._fresh_state(self._cache_dtype), self.bucket,
+                        [_Slot() for _ in range(self.rows // self._pair)])
+                    self.stats["overlaps"] += 1
+                    self._step_overlap()
+                else:
+                    # single-window: fast-forward the in-flight rows in ONE
+                    # compiled drain (no per-segment host round trips), then
+                    # the next call resets and admits
+                    self._run_drain(win)
             elif self._reactive is not None:
                 # row-blocked: decode reactively so the row-free event
                 # surfaces at the exact frame it happens
-                if not self._run_reactive():
-                    self._run_segment(refills, self.seg_ladder[-1])
+                if not self._run_reactive(win):
+                    self._run_segment(win, refills, self.seg_ladder[-1])
             else:
-                self._run_segment(refills, self._pick_seg(refills))
+                self._run_segment(win, refills, self._pick_seg(win, refills))
         else:
-            self._run_segment(refills, self._pick_seg(refills))
+            self._run_segment(win, refills, self._pick_seg(win, refills))
         done, self._results = self._results, {}
         return done
+
+    def _step_overlap(self) -> None:
+        """One scheduling iteration while two windows are live: the fresh
+        (admitting) window and the old (draining) window alternate
+        segments, so arrivals behind a spent window start decoding in ~2
+        segments while the old tail still makes full-rate progress. The
+        old window retires the moment its last row completes."""
+        ow = self._overlap
+        old_busy = any(s.request_id >= 0 for s in self._win.slots)
+        if not old_busy:
+            # old window fully drained: the overlap becomes primary
+            self._win = ow
+            self._overlap = None
+            refills = self._gather_refills(ow)
+            if refills or any(s.request_id >= 0 for s in ow.slots):
+                self._run_segment(ow, refills, self._pick_seg(ow, refills))
+            return
+        if not self._flip:
+            # the fresh window's turn (refills are gathered only on its
+            # own turn — popped requests ride this segment's prologue)
+            refills = self._gather_refills(ow)
+            if refills or any(s.request_id >= 0 for s in ow.slots):
+                self._run_segment(ow, refills, self._pick_seg(ow, refills))
+                self._flip = True
+                return
+        self._run_segment(self._win, [], self.seg_ladder[-1])
+        self._flip = False
 
     def run_until_drained(self) -> Dict[int, Any]:
         """Process queue + in-flight work to completion; return results:
         mode=text -> 1-D token array per request id; mode=audio ->
         (reason (8, T1), semantic (8, T2)) per request id."""
+        while self._overlap is not None:
+            # retire any live overlap window first (mixed step_online /
+            # run_until_drained use): alternation always makes progress
+            self._step_overlap()
+        win = self._win
         while not self._queue.empty() or any(
-                s.request_id >= 0 for s in self._slots):
-            refills = self._gather_refills()
-            busy = any(s.request_id >= 0 for s in self._slots)
+                s.request_id >= 0 for s in win.slots):
+            refills = self._gather_refills(win)
+            busy = any(s.request_id >= 0 for s in win.slots)
             if not refills and not busy:
                 if self._queue.empty():
                     break
                 # queued work exists but nothing is admissible here: reset
-                self._state = self._fresh_state(self._cache_dtype)
-                self._pos_host = self.bucket
-                self.stats["resets"] += 1
+                self._reset(win)
                 continue
             if self._queue.empty() and not refills:
-                self._run_drain()
+                self._run_drain(win)
             else:
-                self._run_segment(refills, self._pick_seg(refills))
+                self._run_segment(win, refills, self._pick_seg(win, refills))
         out, self._results = self._results, {}
         return out
 
     # -- scheduling --------------------------------------------------------
 
-    def _remaining(self) -> int:
-        return self.cache_len - 1 - self._pos_host
+    def _remaining(self, win: "Optional[_Window]" = None) -> int:
+        win = self._win if win is None else win
+        return self.cache_len - 1 - win.pos
 
-    def _gather_refills(self):
+    def _reset(self, win: "_Window") -> None:
+        win.state = self._fresh_state(self._cache_dtype)
+        win.pos = self.bucket
+        self.stats["resets"] += 1
+
+    def _gather_refills(self, win: "Optional[_Window]" = None):
         """Pop admissible queued requests into free slots (host bookkeeping
         only; the device writes happen inside the next segment call)."""
+        win = self._win if win is None else win
         refills = []
-        for r, slot in enumerate(self._slots):
+        for r, slot in enumerate(win.slots):
             if slot.request_id >= 0 or self._queue.empty():
                 continue
             req: _Request = self._queue.queue[0]
-            if self._remaining() < req.max_frames:
+            if self._remaining(win) < req.max_frames:
                 continue
             self._queue.get()
-            self._slots[r] = _Slot(request_id=req.rid,
-                                   max_frames=req.max_frames)
+            win.slots[r] = _Slot(request_id=req.rid,
+                                 max_frames=req.max_frames)
             refills.append((r, req))
             self.stats["refills"] += 1
             t = self.timings.get(req.rid)
@@ -940,36 +1068,40 @@ class ContinuousEngine:
         return (jnp.asarray(rows), jnp.asarray(grids), jnp.asarray(masks),
                 jnp.asarray(lens), jnp.asarray(caps))
 
-    def _pick_seg(self, refills) -> int:
-        """Segment length for this boundary: shortest right after an
-        admission (first frames surface fast), middle while a free row
-        could take an arrival (bounds the boundary wait), longest when
-        saturated (amortize dispatch where only throughput matters)."""
+    def _pick_seg(self, win: "_Window", refills) -> int:
+        """Segment length for this boundary: shortest on a segment that
+        carries an admission (first frames surface fast), longest when
+        nothing admits (steady-state TPOT at the fixed-segment cost). A
+        3+-rung ladder additionally uses the middle rung while a free row
+        could take an arrival (bounds the boundary wait — measured not
+        worth its TPOT cost as a default, docs/serving_latency_r5.md)."""
         if len(self.seg_ladder) == 1:
             return self.seg_ladder[-1]
         if refills:
             return self.seg_ladder[0]
-        if any(s.request_id < 0 for s in self._slots):
-            return self.seg_ladder[min(1, len(self.seg_ladder) - 1)]
+        if len(self.seg_ladder) > 2 and any(
+                s.request_id < 0 for s in win.slots):
+            return self.seg_ladder[1]
         return self.seg_ladder[-1]
 
-    def _run_segment(self, refills, k: Optional[int] = None):
+    def _run_segment(self, win: "_Window", refills,
+                     k: Optional[int] = None):
         k = self.seg_frames if k is None else k
-        self._state, slab = self._segments[k](
-            self.params, self._state, *self._refill_args(refills))
+        win.state, slab = self._segments[k](
+            self.params, win.state, *self._refill_args(refills))
         self.stats["segments"] += 1
-        self._pos_host += k
-        self._harvest(np.asarray(slab))
+        win.pos += k
+        self._harvest(win, np.asarray(slab))
 
-    def _run_reactive(self) -> bool:
+    def _run_reactive(self, win: "_Window") -> bool:
         """One reactive decode burst; False when it made no progress (the
         caller then falls back to a plain segment)."""
-        self._state, slab, steps = self._reactive(self.params, self._state)
+        win.state, slab, steps = self._reactive(self.params, win.state)
         self.stats["reactive"] += 1
         steps = int(steps)
-        self._pos_host += steps
+        win.pos += steps
         if steps:
-            self._harvest(np.asarray(slab)[:, :steps])
+            self._harvest(win, np.asarray(slab)[:, :steps])
         return steps > 0
 
     def warmup(self) -> None:
@@ -994,17 +1126,18 @@ class ContinuousEngine:
         self._state = self._fresh_state(self._cache_dtype)
         self._pos_host = self.bucket
 
-    def _run_drain(self):
-        self._state, slab, steps = self._drain(self.params, self._state)
+    def _run_drain(self, win: "Optional[_Window]" = None):
+        win = self._win if win is None else win
+        win.state, slab, steps = self._drain(self.params, win.state)
         self.stats["drains"] += 1
         steps = int(steps)
-        self._pos_host += steps
-        self._harvest(np.asarray(slab)[:, :steps])
+        win.pos += steps
+        self._harvest(win, np.asarray(slab)[:, :steps])
 
-    def _harvest(self, slab: np.ndarray):
+    def _harvest(self, win: "_Window", slab: np.ndarray):
         ncb = self.cfg.tokens.num_codebooks
         now = time.monotonic()
-        for u, slot in enumerate(self._slots):
+        for u, slot in enumerate(win.slots):
             if slot.request_id < 0:
                 continue
             r = u * self._pair      # CFG reads the cond row of the pair
@@ -1015,20 +1148,20 @@ class ContinuousEngine:
                 slot.phase.append(int(slab[r, kf, 1 + ncb]))
                 if slab[r, kf, 2 + ncb]:
                     self._stamp(slot, had_frames, now)
-                    self._finalize(u)
+                    self._finalize(win, u)
                     break
             else:
                 self._stamp(slot, had_frames, now)
                 if len(slot.text) >= slot.max_frames:
-                    self._finalize(u)
+                    self._finalize(win, u)
 
     def _stamp(self, slot: _Slot, had_frames: int, now: float) -> None:
         t = self.timings.get(slot.request_id)
         if t is not None and had_frames == 0 and slot.text:
             t.setdefault("first", now)
 
-    def _finalize(self, r: int):
-        slot = self._slots[r]
+    def _finalize(self, win: "_Window", r: int):
+        slot = win.slots[r]
         t = self.timings.get(slot.request_id)
         if t is not None:
             t["done"] = time.monotonic()
@@ -1049,4 +1182,4 @@ class ContinuousEngine:
             self._results[slot.request_id] = split_two_phase(
                 audio, phase, n, self.cfg.tokens.audio_reason_card
             )
-        self._slots[r] = _Slot()
+        win.slots[r] = _Slot()
