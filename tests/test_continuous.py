@@ -354,6 +354,38 @@ def test_online_overlap_windows_token_identity(setup):
         np.testing.assert_array_equal(a, b)
 
 
+def test_online_overlap_windows_cfg_pairs(setup):
+    """Overlapped drain windows compose with CFG [cond, uncond] pair
+    admission: pair slots in the fresh window, identical token streams
+    to the windows=1 schedule."""
+    cfg, params, ref = setup
+    reqs = _cfg_requests(cfg.tokens, 3)
+    caps = [8, 24, 24]
+
+    def run(windows):
+        ce = ContinuousEngine(
+            params, cfg, mode="audio", rows=4, bucket=32, seg_frames=4,
+            cache_len=64, max_frames=24, topk=1, use_cfg=True,
+            cfg_scale=1.5, cache_dtype=jnp.float32, windows=windows,
+        )
+        rids = [ce.submit(g, m, max_frames=c, neg_grid=ng, neg_mask=nm)
+                for (g, m, ng, nm), c in zip(reqs, caps)]
+        results = {}
+        for _ in range(200):
+            results.update(ce.step_online())
+            if len(results) == len(rids):
+                break
+        assert len(results) == len(rids)
+        return [results[r] for r in rids], ce.stats
+
+    one, stats_one = run(1)
+    two, stats_two = run(2)
+    assert stats_two["overlaps"] >= 1
+    for (ar, as_), (br, bs) in zip(one, two):
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(br))
+        np.testing.assert_array_equal(np.asarray(as_), np.asarray(bs))
+
+
 def test_overlap_then_run_until_drained(setup):
     """run_until_drained retires a live overlap window first (mixed
     step_online / run_until_drained use) and completes everything."""
